@@ -84,11 +84,12 @@ def test_roi_align_scale_invariance():
 
 def test_multilevel_assignment():
     # small roi -> fine level, large roi -> coarse level
+    # feature sizes consistent with a 512px image so the big RoI stays in range
     N, C = 1, 2
-    f1 = jnp.ones((N, 32, 32, C)) * 1.0   # stride 4
-    f2 = jnp.ones((N, 16, 16, C)) * 2.0   # stride 8
-    f3 = jnp.ones((N, 8, 8, C)) * 3.0     # stride 16
-    f4 = jnp.ones((N, 4, 4, C)) * 4.0     # stride 32
+    f1 = jnp.ones((N, 128, 128, C)) * 1.0   # stride 4
+    f2 = jnp.ones((N, 64, 64, C)) * 2.0     # stride 8
+    f3 = jnp.ones((N, 32, 32, C)) * 3.0     # stride 16
+    f4 = jnp.ones((N, 16, 16, C)) * 4.0     # stride 32
     rois = jnp.asarray(
         [
             [0, 10, 10, 60, 60],      # sqrt(area)=50 → lvl2 (clipped to min)
