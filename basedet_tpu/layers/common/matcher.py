@@ -1,0 +1,196 @@
+"""Label-assignment matchers as static-shape pure functions.
+
+Capability analogue of /root/reference/basedet/layers/common/matcher.py
+(Matcher:19-51, SinkhornMatcher:106-126, OTATopkMatcher:129-161,
+HungarianMatcher:54-103). TPU-native redesign: every matcher consumes a
+PADDED gt set (K rows, ``gt_valid`` mask) and returns dense per-candidate
+results — no data-dependent shapes.
+"""
+from __future__ import annotations
+
+from dataclasses import dataclass
+from typing import Sequence, Tuple
+
+import jax
+import jax.numpy as jnp
+
+_NEG = -1e8
+
+
+@dataclass(frozen=True)
+class Matcher:
+    """IoU-threshold matcher with optional low-quality matches.
+
+    thresholds: ascending bin edges, e.g. (0.4, 0.5).
+    labels: one per bin, e.g. (0, -1, 1) → below 0.4 = background,
+        [0.4, 0.5) = ignore, >= 0.5 = foreground.
+    """
+
+    thresholds: Sequence[float]
+    labels: Sequence[int]
+    allow_low_quality_matches: bool = False
+
+    def __call__(
+        self, matrix: jnp.ndarray, row_valid: jnp.ndarray
+    ) -> Tuple[jnp.ndarray, jnp.ndarray]:
+        """matrix: (K, M) match quality (IoU) of K padded gts vs M anchors;
+        row_valid: (K,) bool. Returns (match_indices (M,), labels (M,))."""
+        assert len(self.thresholds) + 1 == len(self.labels)
+        masked = jnp.where(row_valid[:, None], matrix, _NEG)
+        max_scores = jnp.max(masked, axis=0)
+        match_indices = jnp.argmax(masked, axis=0)
+
+        labels = jnp.full(matrix.shape[1], -1, jnp.int32)
+        edges = [-jnp.inf] + list(self.thresholds) + [jnp.inf]
+        for label, low, high in zip(self.labels, edges[:-1], edges[1:]):
+            in_bin = (max_scores >= low) & (max_scores < high)
+            labels = jnp.where(in_bin, jnp.int32(label), labels)
+
+        if self.allow_low_quality_matches:
+            row_max = jnp.max(masked, axis=1, keepdims=True)
+            is_best = (masked == row_max) & row_valid[:, None]
+            labels = jnp.where(jnp.any(is_best, axis=0), 1, labels)
+        return match_indices, labels
+
+
+def sinkhorn_log(
+    mu: jnp.ndarray,
+    nu: jnp.ndarray,
+    cost: jnp.ndarray,
+    eps: float = 0.1,
+    n_iters: int = 50,
+) -> jnp.ndarray:
+    """Log-domain Sinkhorn optimal-transport plan.
+
+    Analogue of /root/reference/basedet/layers/blocks/sinkhorn_distance.py:7-50,
+    fixed-iteration (TPU-friendly — no convergence-dependent control flow).
+    mu: (K+1,) supply, nu: (M,) demand, cost: (K+1, M). Returns plan (K+1, M).
+    """
+    log_mu = jnp.log(jnp.maximum(mu, 1e-12))
+    log_nu = jnp.log(jnp.maximum(nu, 1e-12))
+    M = -cost / eps
+
+    def body(_, uv):
+        u, v = uv
+        u = log_mu - jax.nn.logsumexp(M + v[None, :], axis=1)
+        v = log_nu - jax.nn.logsumexp(M + u[:, None], axis=0)
+        return u, v
+
+    u = jnp.zeros_like(log_mu)
+    v = jnp.zeros_like(log_nu)
+    u, v = jax.lax.fori_loop(0, n_iters, body, (u, v))
+    return jnp.exp(M + u[:, None] + v[None, :])
+
+
+@dataclass(frozen=True)
+class SinkhornMatcher:
+    """OTA's Sinkhorn matcher (matcher.py:106-126): assign each anchor to the
+    gt (or background) with the largest transported mass."""
+
+    eps: float = 0.1
+    n_iters: int = 50
+
+    def __call__(
+        self,
+        cost: jnp.ndarray,          # (K, M) fg cost
+        bg_cost: jnp.ndarray,       # (M,) background cost row
+        gt_valid: jnp.ndarray,      # (K,)
+        dynamic_ks: jnp.ndarray,    # (K,) per-gt supply (int)
+    ) -> Tuple[jnp.ndarray, jnp.ndarray]:
+        """Returns (matched_gt (M,) int, fg_mask (M,))."""
+        K, M = cost.shape
+        ks = jnp.where(gt_valid, dynamic_ks, 0).astype(jnp.float32)
+        mu = jnp.concatenate([ks, jnp.asarray([M - jnp.sum(ks)])])
+        nu = jnp.ones((M,), jnp.float32)
+        full_cost = jnp.concatenate(
+            [jnp.where(gt_valid[:, None], cost, 1e6), bg_cost[None, :]], axis=0
+        )
+        plan = sinkhorn_log(mu, nu, full_cost, self.eps, self.n_iters)
+        assigned = jnp.argmax(plan, axis=0)  # (M,) in [0, K]
+        fg_mask = assigned < K
+        matched = jnp.clip(assigned, 0, K - 1)
+        return matched, fg_mask
+
+
+def topk_dynamic_k_matching(
+    cost: jnp.ndarray,
+    ious: jnp.ndarray,
+    gt_valid: jnp.ndarray,
+    candidate_topk: int = 10,
+) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """SimOTA/OTA dynamic-k matching as masked matrix ops.
+
+    Analogue of OTATopkMatcher (matcher.py:129-161) and YOLOX
+    dynamic_k_matching (models/det/yolox.py:375-408), without the per-GT
+    python loop: dynamic-k selection becomes a rank-vs-k comparison and
+    conflicts resolve by argmin cost.
+
+    cost: (K, M) assignment cost (invalid anchors should carry +large cost).
+    ious: (K, M) pairwise IoU used to derive per-gt k.
+    Returns (matched_gt (M,) int32, fg_mask (M,) bool).
+    """
+    K, M = cost.shape
+    k_cap = min(candidate_topk, M)
+    topk_ious, _ = jax.lax.top_k(ious, k_cap)  # (K, k_cap)
+    dynamic_ks = jnp.clip(jnp.sum(topk_ious, axis=1).astype(jnp.int32), 1, None)
+    dynamic_ks = jnp.where(gt_valid, dynamic_ks, 0)
+
+    # rank of each anchor within its gt row by ascending cost
+    order = jnp.argsort(cost, axis=1)               # (K, M) anchor ids
+    ranks = jnp.argsort(order, axis=1)              # rank of each anchor
+    matching = ranks < dynamic_ks[:, None]          # (K, M)
+
+    # resolve anchors matched to multiple gts: keep argmin-cost gt
+    num_matches = jnp.sum(matching, axis=0)         # (M,)
+    cost_masked = jnp.where(matching, cost, jnp.inf)
+    best_gt = jnp.argmin(cost_masked, axis=0)       # (M,)
+    fg_mask = num_matches > 0
+    return best_gt.astype(jnp.int32), fg_mask
+
+
+def hungarian_match_auction(
+    cost: jnp.ndarray, n_iters: int = 200, eps_scale: float = 1e-3
+) -> jnp.ndarray:
+    """On-device assignment for DETR via auction-style bidding.
+
+    Analogue of HungarianMatcher (matcher.py:54-103, scipy
+    linear_sum_assignment) re-designed for TPU: a fixed-iteration auction
+    algorithm over the (Q, K) query→target cost matrix. With eps small
+    relative to cost gaps this converges to the optimal assignment; DETR's
+    training is robust to eps-suboptimal matches.
+
+    cost: (Q, K) — Q queries, K (padded) targets; invalid targets should
+    carry +large cost. Returns (Q,) int32: target index per query (may
+    contain duplicates only for invalid/unassigned queries — callers mask by
+    target validity).
+    """
+    Q, K = cost.shape
+    eps = eps_scale * (jnp.max(cost) - jnp.min(cost) + 1e-6)
+
+    def body(_, state):
+        prices, owner = state  # prices (K,), owner (K,) int32 query owning item
+        value = -cost - prices[None, :]          # (Q, K) net benefit
+        best = jnp.argmax(value, axis=1)         # (Q,) each query's favourite
+        top2 = jax.lax.top_k(value, 2)[0]        # (Q, 2)
+        bid = top2[:, 0] - top2[:, 1] + eps      # bid increments
+        # each item keeps the highest bidder among queries bidding on it
+        bids = jnp.zeros((Q, K)).at[jnp.arange(Q), best].set(bid)
+        high_bid = jnp.max(bids, axis=0)
+        high_bidder = jnp.argmax(bids, axis=0)
+        won = high_bid > 0
+        prices = jnp.where(won, prices + high_bid, prices)
+        owner = jnp.where(won, high_bidder, owner)
+        return prices, owner
+
+    prices = jnp.zeros((K,))
+    owner = jnp.full((K,), -1, jnp.int32)
+    prices, owner = jax.lax.fori_loop(0, n_iters, body, (prices, owner))
+
+    # invert owner (K,)->query to query->item; unassigned queries get argmin cost
+    assign = jnp.full((Q,), -1, jnp.int32)
+    valid_owner = owner >= 0
+    assign = assign.at[jnp.where(valid_owner, owner, Q)].set(
+        jnp.arange(K, dtype=jnp.int32), mode="drop"
+    )
+    fallback = jnp.argmin(cost, axis=1).astype(jnp.int32)
+    return jnp.where(assign >= 0, assign, fallback)
