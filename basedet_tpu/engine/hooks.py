@@ -1,0 +1,239 @@
+"""Training hooks.
+
+Capability analogue of /root/reference/basedet/engine/hooks.py:26-402
+(BaseHook phases + LoggerHook / LRSchedulerHook / EvalHook / CheckpointHook /
+ResumeHook / TensorboardHook). Hooks run host-side between jitted steps; LR
+scheduling itself is compiled into the step (solver/schedules.py), so the LR
+hook only logs.
+"""
+from __future__ import annotations
+
+import datetime
+import os
+import pickle
+import time
+from typing import Optional
+
+import numpy as np
+
+from basedet_tpu.utils import logger, registers
+
+
+class BaseHook:
+    trainer = None  # set by the trainer
+
+    def before_train(self):
+        pass
+
+    def after_train(self):
+        pass
+
+    def before_epoch(self):
+        pass
+
+    def after_epoch(self):
+        pass
+
+    def before_iter(self):
+        pass
+
+    def after_iter(self):
+        pass
+
+
+@registers.hooks.register()
+class LoggerHook(BaseHook):
+    """Per-interval loss/lr/time/ETA logging (reference hooks.py:36-195)."""
+
+    def __init__(self, log_interval: int = 20):
+        self.log_interval = log_interval
+        self.start_time = None
+
+    def before_train(self):
+        self.start_time = time.time()
+        t = self.trainer
+        logger.info(f"Starting training: {t.progress.max_epoch} epochs x "
+                    f"{t.progress.max_iter} iters, "
+                    f"world size {t.world_size}, "
+                    f"global batch {t.global_batch_size}")
+
+    def after_iter(self):
+        t = self.trainer
+        p = t.progress
+        if p.current_iter % self.log_interval != 0:
+            return
+        # pull metrics (device sync point)
+        meters = t.meters
+        done = p.current_iter
+        total = p.total_iter
+        elapsed = time.time() - self.start_time
+        eta = datetime.timedelta(
+            seconds=int(elapsed / max(done, 1) * (total - done))
+        )
+        loss_str = ", ".join(
+            f"{k}: {m.avg:.4f}"
+            for k, m in meters.items()
+            if "loss" in k
+        )
+        extra = ", ".join(
+            f"{k}: {m.avg:.4g}"
+            for k, m in meters.items()
+            if "loss" not in k and "time" not in k
+        )
+        time_str = ", ".join(
+            f"{k}: {m.avg * 1000:.0f}ms"
+            for k, m in meters.items()
+            if "time" in k
+        )
+        logger.info(
+            f"{', '.join(p.progress_str_list())}, {loss_str}, {extra}, "
+            f"{time_str}, ETA: {eta}"
+        )
+
+
+@registers.hooks.register()
+class LRSchedulerHook(BaseHook):
+    """LR is part of the compiled step; this hook exists for parity and
+    records the current LR into the meters (reference hooks.py:198-248)."""
+
+    def after_iter(self):
+        pass  # lr already tracked via train-step metrics
+
+
+@registers.hooks.register()
+class CheckpointHook(BaseHook):
+    """Save latest.pkl + per-epoch checkpoints with model/optimizer/
+    progress/EMA (reference hooks.py:296-325)."""
+
+    def __init__(self, save_dir: str, save_period: int = 1):
+        self.save_dir = save_dir
+        self.save_period = save_period
+
+    def _save(self, name: str):
+        t = self.trainer
+        os.makedirs(self.save_dir, exist_ok=True)
+        path = os.path.join(self.save_dir, name)
+        payload = {
+            "state": jax_to_numpy(t.state),
+            "progress": t.progress.state_dict(),
+        }
+        with open(path, "wb") as f:
+            pickle.dump(payload, f)
+        with open(os.path.join(self.save_dir, "last_checkpoint"), "w") as f:
+            f.write(name)
+        logger.info(f"saved checkpoint to {path}")
+
+    def after_epoch(self):
+        self._save("latest.pkl")
+        if self.trainer.progress.epoch % self.save_period == 0:
+            self._save(f"epoch_{self.trainer.progress.epoch}.pkl")
+
+    def after_train(self):
+        t = self.trainer
+        os.makedirs(self.save_dir, exist_ok=True)
+        weights = jax_to_numpy(
+            t.state.variables(ema=t.ema_enabled)
+        )
+        with open(os.path.join(self.save_dir, "dumped_model.pkl"), "wb") as f:
+            pickle.dump({"model": weights}, f)
+
+
+@registers.hooks.register()
+class ResumeHook(BaseHook):
+    """Load latest checkpoint, restore state + progress
+    (reference hooks.py:328-360)."""
+
+    def __init__(self, save_dir: str, enable: bool = True):
+        self.save_dir = save_dir
+        self.enable = enable
+
+    def before_train(self):
+        if not self.enable:
+            return
+        pointer = os.path.join(self.save_dir, "last_checkpoint")
+        if not os.path.exists(pointer):
+            logger.info("no checkpoint found; training from scratch")
+            return
+        with open(pointer) as f:
+            name = f.read().strip()
+        path = os.path.join(self.save_dir, name)
+        with open(path, "rb") as f:
+            payload = pickle.load(f)
+        t = self.trainer
+        t.state = numpy_to_state_like(t.state, payload["state"])
+        t.progress.load_state_dict(payload["progress"])
+        t.progress.epoch_done()  # resume at next epoch (reference :345)
+        logger.info(f"resumed from {path} at epoch {t.progress.epoch}")
+
+
+@registers.hooks.register()
+class EvalHook(BaseHook):
+    """Mid-train + final evaluation, including the EMA weights
+    (reference hooks.py:251-293)."""
+
+    def __init__(self, eval_interval: Optional[int] = None):
+        self.eval_interval = eval_interval
+
+    def _run_eval(self, use_ema: bool):
+        t = self.trainer
+        if t.evaluator is None or t.test_dataloader is None:
+            logger.info("EvalHook: no evaluator/test dataloader wired; skipping")
+            return
+        variables = t.state.variables(ema=use_ema)
+        results = t.evaluator.evaluate_model(t.model, variables, t.test_dataloader)
+        tag = "EMA" if use_ema else "model"
+        logger.info(f"eval ({tag}): {results}")
+
+    def after_epoch(self):
+        p = self.trainer.progress
+        if self.eval_interval and p.epoch % self.eval_interval == 0 \
+                and not p.is_last_epoch():
+            self._run_eval(use_ema=False)
+
+    def after_train(self):
+        self._run_eval(use_ema=False)
+        if self.trainer.ema_enabled:
+            self._run_eval(use_ema=True)
+
+
+@registers.hooks.register()
+class TensorboardHook(BaseHook):
+    """Scalar writer (reference hooks.py:363-402); uses tensorboardX."""
+
+    def __init__(self, log_dir: str, write_interval: int = 20):
+        self.log_dir = log_dir
+        self.write_interval = write_interval
+        self.writer = None
+
+    def before_train(self):
+        from tensorboardX import SummaryWriter
+
+        os.makedirs(self.log_dir, exist_ok=True)
+        self.writer = SummaryWriter(self.log_dir)
+
+    def after_iter(self):
+        t = self.trainer
+        step = t.progress.current_iter
+        if step % self.write_interval != 0 or self.writer is None:
+            return
+        for k, m in t.meters.items():
+            self.writer.add_scalar(k, m.latest, step)
+
+    def after_train(self):
+        if self.writer is not None:
+            self.writer.close()
+
+
+def jax_to_numpy(tree):
+    import jax
+
+    return jax.tree_util.tree_map(lambda x: np.asarray(x), tree)
+
+
+def numpy_to_state_like(like, tree):
+    import jax
+
+    leaves_like, treedef = jax.tree_util.tree_flatten(like)
+    leaves = jax.tree_util.tree_leaves(tree)
+    assert len(leaves) == len(leaves_like), "checkpoint/state structure mismatch"
+    return jax.tree_util.tree_unflatten(treedef, leaves)

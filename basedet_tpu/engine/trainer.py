@@ -1,0 +1,113 @@
+"""DetTrainer: the host-side training loop around the compiled step.
+
+Capability analogue of /root/reference/basedet/engine/trainer.py:16-108 and
+basecore's BaseTrainer epoch/iter loop. The per-iter device work
+(forward/loss/grad/allreduce/update/EMA) is ONE jitted function
+(engine/train_state.py); this class owns data feeding, hook phases, meters
+and timing. The reference's ``mge._full_sync()`` fence (trainer.py:83)
+becomes an explicit block_until_ready at metric-read points only.
+"""
+from __future__ import annotations
+
+import time
+from typing import Iterable, List, Optional
+
+import jax
+import numpy as np
+
+from basedet_tpu.engine.progress import Progress
+from basedet_tpu.engine.train_state import TrainState, make_train_step
+from basedet_tpu.parallel import make_mesh, replicate_state, shard_batch
+from basedet_tpu.utils import MeterBuffer, logger, registers
+
+
+@registers.trainers.register()
+class DetTrainer:
+    def __init__(self, cfg, model, dataloader, solver, hooks: List = ()):
+        self.cfg = cfg
+        self.model = model
+        self.dataloader = dataloader
+        self.solver = solver
+        self.meters = MeterBuffer(window_size=cfg.GLOBAL.get("LOG_INTERVAL", 20))
+
+        self.mesh = make_mesh()
+        self.world_size = self.mesh.devices.size
+        self.global_batch_size = cfg.MODEL.BATCHSIZE * self.world_size
+
+        max_iter = max(
+            1,
+            int(
+                cfg.SOLVER.NUM_IMAGE_PER_EPOCH
+                / self.world_size
+                / cfg.MODEL.BATCHSIZE
+            ),
+        )
+        self.progress = Progress(
+            max_epoch=cfg.SOLVER.MAX_EPOCH, max_iter=max_iter
+        )
+
+        self.ema_enabled = bool(cfg.TRAINER.EMA.get("ENABLE", False))
+        self._train_step = jax.jit(
+            make_train_step(model, solver, cfg), donate_argnums=(0,)
+        )
+
+        self.state: Optional[TrainState] = None
+        self.evaluator = None
+        self.test_dataloader = None
+
+        self.hooks = list(hooks)
+        for h in self.hooks:
+            h.trainer = self
+
+    # -- lifecycle ---------------------------------------------------------------
+    def init_state(self, rng=None, image_size=None):
+        rng = rng if rng is not None else jax.random.PRNGKey(0)
+        if image_size is None:
+            image_size = tuple(
+                self.cfg.DATA.get("DUMMY_IMAGE_SIZE", (512, 512))
+            )
+        variables = self.model.init_variables(rng, image_size=image_size)
+        weights = self.cfg.MODEL.get("WEIGHTS", None)
+        if weights:
+            logger.info(f"loading pretrained weights from {weights}")
+            variables = self.model.load_weights(variables, weights)
+        state = TrainState.create(variables, self.solver, ema=self.ema_enabled)
+        self.state = replicate_state(state, self.mesh)
+
+    def train(self):
+        if self.state is None:
+            self.init_state()
+        data_iter = iter(self.dataloader)
+
+        self._call_hooks("before_train")
+        start_epoch = self.progress.epoch
+        for epoch in range(start_epoch, self.progress.max_epoch + 1):
+            self.progress.epoch = epoch
+            self._call_hooks("before_epoch")
+            for it in range(1, self.progress.max_iter + 1):
+                self.progress.inner_iter = it
+                self._call_hooks("before_iter")
+                self.train_one_iter(data_iter)
+                self._call_hooks("after_iter")
+            self._call_hooks("after_epoch")
+            if epoch < self.progress.max_epoch:
+                self.progress.epoch_done()
+        self._call_hooks("after_train")
+        logger.info("training finished")
+
+    def train_one_iter(self, data_iter):
+        t0 = time.perf_counter()
+        batch = next(data_iter)
+        batch = shard_batch(dict(batch), self.mesh)
+        t1 = time.perf_counter()
+        self.state, metrics = self._train_step(self.state, batch)
+        # async dispatch: only materialize metrics for the meters (the
+        # implicit sync fence; cadence kept small via windowed meters)
+        metrics = {k: float(np.asarray(v)) for k, v in metrics.items()}
+        t2 = time.perf_counter()
+        self.meters.update(metrics)
+        self.meters.update(data_time=t1 - t0, train_time=t2 - t1)
+
+    def _call_hooks(self, phase: str):
+        for h in self.hooks:
+            getattr(h, phase)()
