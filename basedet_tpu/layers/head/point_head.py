@@ -1,0 +1,91 @@
+"""FCOS-style point head (flax.linen, NHWC).
+
+Capability analogue of /root/reference/basedet/layers/head/point_head.py:17-212
+(PointHead + OTAPointHead): shared 3x3 conv subnets with GroupNorm(32),
+normal(0.01) init, prior-prob classifier bias, learnable per-level ``scales``
+parameter, offsets decoded as ``relu(pred · scale) · stride``; the OTA
+variant renames ctrness→IoU branch and optionally exp-decodes offsets.
+"""
+from __future__ import annotations
+
+import math
+from typing import List, Sequence, Tuple
+
+import jax
+import jax.numpy as jnp
+from flax import linen as nn
+
+
+class PointHead(nn.Module):
+    num_classes: int
+    strides: Sequence[int] = (8, 16, 32, 64, 128)
+    num_anchors: int = 1
+    num_convs: int = 4
+    prior_prob: float = 0.01
+    with_norm: bool = True
+    share_param: bool = True
+    # OTA variant: exp decode instead of relu·scale·stride
+    decode_mode: str = "relu_scale"  # "relu_scale" | "exp_scale"
+
+    @nn.compact
+    def __call__(self, features: Sequence[jnp.ndarray]):
+        assert self.share_param, "per-level params not implemented yet"
+        winit = nn.initializers.normal(0.01)
+        bias_value = -math.log((1 - self.prior_prob) / self.prior_prob)
+        C = features[0].shape[-1]
+
+        cls_convs = [
+            nn.Conv(C, (3, 3), padding=1, kernel_init=winit, name=f"cls_subnet_{i}")
+            for i in range(self.num_convs)
+        ]
+        bbox_convs = [
+            nn.Conv(C, (3, 3), padding=1, kernel_init=winit, name=f"bbox_subnet_{i}")
+            for i in range(self.num_convs)
+        ]
+        cls_norms = [
+            nn.GroupNorm(32, name=f"cls_gn_{i}") if self.with_norm else None
+            for i in range(self.num_convs)
+        ]
+        bbox_norms = [
+            nn.GroupNorm(32, name=f"bbox_gn_{i}") if self.with_norm else None
+            for i in range(self.num_convs)
+        ]
+        cls_score = nn.Conv(
+            self.num_anchors * self.num_classes, (3, 3), padding=1,
+            kernel_init=winit, bias_init=nn.initializers.constant(bias_value),
+            name="cls_score",
+        )
+        bbox_pred = nn.Conv(
+            self.num_anchors * 4, (3, 3), padding=1, kernel_init=winit,
+            name="bbox_pred",
+        )
+        ctrness_pred = nn.Conv(
+            self.num_anchors, (3, 3), padding=1, kernel_init=winit,
+            name="ctrness",
+        )
+        scales = self.param(
+            "scales", lambda rng: jnp.ones((len(self.strides),), jnp.float32)
+        )
+
+        logits, offsets, ctrness = [], [], []
+        for lv, (feat, stride) in enumerate(zip(features, self.strides)):
+            c = feat
+            for conv, norm in zip(cls_convs, cls_norms):
+                c = conv(c)
+                if norm is not None:
+                    c = norm(c)
+                c = jax.nn.relu(c)
+            b = feat
+            for conv, norm in zip(bbox_convs, bbox_norms):
+                b = conv(b)
+                if norm is not None:
+                    b = norm(b)
+                b = jax.nn.relu(b)
+            logits.append(cls_score(c))
+            raw = bbox_pred(b)
+            if self.decode_mode == "relu_scale":
+                offsets.append(jax.nn.relu(raw * scales[lv]) * stride)
+            else:  # exp_scale (OTA head option, point_head.py:189-205)
+                offsets.append(jnp.exp(raw * scales[lv]) * stride)
+            ctrness.append(ctrness_pred(b))
+        return logits, offsets, ctrness

@@ -1,3 +1,5 @@
+from .atss import ATSS
+from .fcos import FCOS
 from .retinanet import RetinaNet
 
-__all__ = ["RetinaNet"]
+__all__ = ["ATSS", "FCOS", "RetinaNet"]
