@@ -1,0 +1,140 @@
+"""FreeAnchor — learning-to-match bag assignment (RetinaNet subclass).
+
+Capability analogue of /root/reference/basedet/models/det/free_anchor.py:15-147.
+Static-shape redesign:
+  * the per-image loop becomes vmap over the padded gt set;
+  * the nonzero/cond_take scatter that builds per-anchor box probabilities
+    (:75-86) becomes one dense scatter-max over all (gt, anchor) pairs —
+    no data-dependent index extraction (duplicate anchor/class hits resolve
+    by max instead of write-order, which is the principled upper envelope);
+  * the reference's empty-nonzero workaround (:69-74) disappears: masked
+    tensors handle the zero-probability case naturally.
+"""
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+
+from basedet_tpu.layers.losses import smooth_l1_loss
+from basedet_tpu.structures import box_iou
+from basedet_tpu.utils import registers
+
+from .retinanet import RetinaNet, _flatten_level
+
+
+def _safelog(x, eps: float = 1e-10):
+    return jnp.log(jnp.maximum(x, eps))
+
+
+@registers.models.register()
+class FreeAnchor(RetinaNet):
+    def get_losses(self, variables, batch, rng=None):
+        inputs = self.pre_process(batch, train=True)
+        module = self.make_module(train=True)
+        mutable = [k for k in variables if k == "batch_stats"]
+        if mutable:
+            (logits_list, offsets_list), new_state = module.apply(
+                variables, inputs["image"], mutable=mutable
+            )
+        else:
+            logits_list, offsets_list = module.apply(variables, inputs["image"])
+            new_state = {}
+
+        feat_sizes = [tuple(x.shape[1:3]) for x in logits_list]
+        anchors = jnp.concatenate(self.anchor_gen(feat_sizes), axis=0)  # (R, 4)
+
+        pred_logits = jnp.concatenate(
+            [_flatten_level(x, self.num_classes) for x in logits_list], axis=1
+        )  # (B, R, C)
+        pred_offsets = jnp.concatenate(
+            [_flatten_level(x, 4) for x in offsets_list], axis=1
+        )  # (B, R, 4)
+        pred_scores = jax.nn.sigmoid(pred_logits)
+
+        lcfg = self.cfg.MODEL.LOSSES
+        bucket = self.cfg.MODEL.BUCKET
+        B_size = int(bucket.BUCKET_SIZE)
+        t1 = bucket.BOX_IOU_THRESH
+        gamma = lcfg.FOCAL_LOSS_GAMMA
+        alpha = lcfg.FOCAL_LOSS_ALPHA
+        eps = 1e-7
+        C = self.num_classes
+
+        gt_boxes = inputs["gt_boxes"]
+        num_valid = inputs["img_info"][:, 4].astype(jnp.int32)
+
+        def per_image(gt, n, scores, offsets):
+            K = gt.shape[0]
+            R = anchors.shape[0]
+            gt_valid = jnp.arange(K) < n
+            labels = jnp.clip(gt[:, 4].astype(jnp.int32) - 1, 0, C - 1)
+
+            # --- box probs (no-grad) ---
+            pred_box = jax.lax.stop_gradient(
+                self.box_coder.decode(anchors, offsets)
+            )
+            overlaps = jax.lax.stop_gradient(box_iou(gt[:, :4], pred_box))
+            overlaps = jnp.where(gt_valid[:, None], overlaps, 0.0)
+            t2 = jnp.clip(
+                jnp.max(overlaps, axis=1, keepdims=True), t1 + eps, 1.0
+            )
+            gt_prob = jnp.clip((overlaps - t1) / (t2 - t1), 0.0, 1.0)
+            gt_prob = jnp.where(gt_valid[:, None], gt_prob, 0.0)
+
+            a_idx = jnp.broadcast_to(jnp.arange(R)[None, :], (K, R))
+            c_idx = jnp.broadcast_to(labels[:, None], (K, R))
+            box_prob = (
+                jnp.zeros((R, C))
+                .at[a_idx.reshape(-1), c_idx.reshape(-1)]
+                .max(gt_prob.reshape(-1))
+            )
+
+            # --- positive bags ---
+            quality = jax.lax.stop_gradient(box_iou(gt[:, :4], anchors))
+            quality = jnp.where(gt_valid[:, None], quality, -1.0)
+            _, matched = jax.lax.top_k(quality, B_size)  # (K, B)
+            m_flat = matched.reshape(-1)
+
+            matched_score = scores[m_flat, :].reshape(K, B_size, C)
+            matched_score = jnp.take_along_axis(
+                matched_score, labels[:, None, None], axis=2
+            )[..., 0]  # (K, B)
+
+            m_anchors = anchors[m_flat]  # (K*B, 4)
+            gt_broad = jnp.repeat(gt[:, :4], B_size, axis=0)
+            m_off_target = self.box_coder.encode(m_anchors, gt_broad)
+            reg_loss = (
+                smooth_l1_loss(
+                    offsets[m_flat], m_off_target, beta=lcfg.SMOOTH_L1_BETA
+                ).sum(axis=-1)
+                * lcfg.REG_LOSS_WEIGHT
+            ).reshape(K, B_size)
+            matched_reg_score = jnp.exp(-reg_loss)
+
+            bag = matched_score * matched_reg_score  # (K, B)
+            w = 1.0 / jnp.maximum(1.0 - bag, eps)
+            w = w / jnp.sum(w, axis=1, keepdims=True)
+            bag_prob = jnp.sum(w * bag, axis=1)
+            pos_loss = -_safelog(bag_prob) * gt_valid  # (K,)
+            return pos_loss, box_prob
+
+        pos_losses, box_probs = jax.vmap(per_image)(
+            gt_boxes, num_valid, pred_scores, pred_offsets
+        )
+
+        num_fg = jnp.maximum(jnp.sum(num_valid).astype(jnp.float32), 1.0)
+        pos_loss = jnp.sum(pos_losses) / num_fg * alpha
+
+        neg_scores = pred_scores * (1.0 - box_probs)
+        neg_loss = (
+            jnp.sum(neg_scores ** gamma * (-_safelog(1.0 - neg_scores)))
+            / jnp.maximum(num_fg * B_size, 1.0)
+            * (1 - alpha)
+        )
+
+        total = pos_loss + neg_loss
+        return total, {
+            "total_loss": total,
+            "pos_loss": pos_loss,
+            "neg_loss": neg_loss,
+        }, new_state
