@@ -1,3 +1,4 @@
 from .build import DataloaderBuilder, build_test_dataloader
+from .transforms.transforms import TransformCompose, build_transforms
 
-__all__ = ["DataloaderBuilder", "build_test_dataloader"]
+__all__ = ["DataloaderBuilder", "TransformCompose", "build_test_dataloader", "build_transforms"]

@@ -1,0 +1,146 @@
+"""COCO train/test loader glue: dataset → transforms → sampler → collator,
+with background-thread prefetch (the host must not starve the TPU —
+SURVEY.md §7 hard part 7; the reference used multi-process MegEngine
+DataLoader workers, data/build.py NUM_WORKERS).
+"""
+from __future__ import annotations
+
+import queue
+import threading
+from typing import Iterator, Optional
+
+from basedet_tpu.data.collators.pad_collator import (
+    DetectionPadCollator,
+    DETRPadCollator,
+)
+from basedet_tpu.data.datasets.coco import COCODataset
+from basedet_tpu.data.datasets.info import resolve_dataset
+from basedet_tpu.data.samplers.samplers import (
+    AspectRatioGroupSampler,
+    InferenceSampler,
+)
+from basedet_tpu.data.transforms.transforms import build_transforms
+from basedet_tpu.utils import logger
+
+
+class PrefetchIterator:
+    """Wraps an iterator factory with an N-deep background-thread prefetch."""
+
+    def __init__(self, make_iter, depth: int = 2, infinite: bool = True):
+        self._make_iter = make_iter
+        self._depth = depth
+        self._infinite = infinite
+        self._q: queue.Queue = queue.Queue(maxsize=depth)
+        self._thread = threading.Thread(target=self._worker, daemon=True)
+        self._thread.start()
+
+    def _worker(self):
+        while True:
+            for item in self._make_iter():
+                self._q.put(item)
+            if not self._infinite:
+                self._q.put(StopIteration)
+                return
+
+    def __iter__(self):
+        return self
+
+    def __next__(self):
+        item = self._q.get()
+        if item is StopIteration:
+            raise StopIteration
+        return item
+
+
+class _MappedLoader:
+    """Finite epoch iterator: sampler batches → transformed records → batch."""
+
+    def __init__(self, dataset, transform, sampler_iter_factory, collator):
+        self.dataset = dataset
+        self.transform = transform
+        self.sampler_iter_factory = sampler_iter_factory
+        self.collator = collator
+
+    def __iter__(self):
+        for batch_idx in self.sampler_iter_factory():
+            records = []
+            for i in batch_idx:
+                rec = self.dataset[i]
+                if self.transform is not None:
+                    rec = self.transform(rec)
+                records.append(rec)
+            yield self.collator(records)
+
+
+def build_coco_train_loader(cfg, global_batch: int):
+    images_dir, anno = resolve_dataset(cfg.DATA.TRAIN.name)
+    dataset = COCODataset(
+        images_dir,
+        anno,
+        remove_images_without_annotations=cfg.DATA.TRAIN.get(
+            "remove_images_without_annotations", True
+        ),
+    )
+    transform = build_transforms(cfg.AUG.TRAIN_VALUE)
+    sampler = AspectRatioGroupSampler(
+        dataset.aspect_ratios(), batch_size=global_batch
+    )
+    collator = DetectionPadCollator(
+        max_instances=cfg.DATA.get("MAX_INSTANCES", 100),
+        size_buckets=cfg.DATA.get("SIZE_BUCKETS", None),
+    )
+    loader = _MappedLoader(dataset, transform, lambda: iter(sampler), collator)
+    return PrefetchIterator(lambda: iter(loader), depth=2, infinite=True)
+
+
+class TestLoader:
+    """Finite eval loader exposing .dataset for the evaluator."""
+
+    def __init__(self, dataset, transform, collator, batch_size: int = 1,
+                 rank: int = 0, world_size: int = 1):
+        self.dataset = dataset
+        self.transform = transform
+        self.collator = collator
+        self.batch_size = batch_size
+        self.sampler = InferenceSampler(len(dataset), rank, world_size)
+
+    def __iter__(self):
+        batch = []
+        for i in self.sampler:
+            rec = self.dataset[i]
+            if self.transform is not None:
+                rec = self.transform(rec)
+            batch.append(rec)
+            if len(batch) == self.batch_size:
+                yield self.collator(batch)
+                batch = []
+        if batch:
+            yield self.collator(batch)
+
+    def __len__(self):
+        return (len(self.sampler) + self.batch_size - 1) // self.batch_size
+
+
+def build_coco_test_loader(cfg, dataset_name: Optional[str] = None,
+                           batch_size: int = 1):
+    images_dir, anno = resolve_dataset(dataset_name or cfg.DATA.TEST.name)
+    dataset = COCODataset(
+        images_dir, anno, remove_images_without_annotations=False
+    )
+    transform = build_transforms(
+        (
+            (
+                "ShortestEdgeResize",
+                dict(
+                    min_size=cfg.TEST.IMG_MIN_SIZE,
+                    max_size=cfg.TEST.IMG_MAX_SIZE,
+                    sample_style="choice",
+                ),
+            ),
+        )
+    )
+    collator = DetectionPadCollator(
+        max_instances=cfg.DATA.get("MAX_INSTANCES", 100),
+        size_buckets=cfg.DATA.get("TEST_SIZE_BUCKETS", None),
+    )
+    return TestLoader(dataset, transform, collator, batch_size=batch_size)
