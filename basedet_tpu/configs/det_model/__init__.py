@@ -1,6 +1,7 @@
 from .atss_cfg import ATSSConfig
+from .faster_rcnn_cfg import FasterRCNNConfig
 from .fcos_cfg import FCOSConfig
 from .freeanchor_cfg import FreeAnchorConfig
 from .retinanet_cfg import RetinaNetConfig
 
-__all__ = ["ATSSConfig", "FCOSConfig", "FreeAnchorConfig", "RetinaNetConfig"]
+__all__ = ["ATSSConfig", "FCOSConfig", "FasterRCNNConfig", "FreeAnchorConfig", "RetinaNetConfig"]

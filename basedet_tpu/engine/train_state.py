@@ -71,10 +71,18 @@ def make_train_step(
     burnin = ema_cfg.get("BURNIN_ITER", 0) if use_ema else 0
     update_period = ema_cfg.get("UPDATE_PERIOD", 1) if use_ema else 1
 
+    base_rng = jax.random.PRNGKey(cfg.get("SEED", 42))
+
     def train_step(state: TrainState, batch, rng=None):
+        step_rng = (
+            rng if rng is not None else jax.random.fold_in(base_rng, state.step)
+        )
+
         def loss_fn(params):
             variables = {"params": params, **state.model_state}
-            total, loss_dict, new_mutable = model.get_losses(variables, batch, rng)
+            total, loss_dict, new_mutable = model.get_losses(
+                variables, batch, step_rng
+            )
             return total, (loss_dict, new_mutable)
 
         (_, (loss_dict, new_mutable)), grads = jax.value_and_grad(

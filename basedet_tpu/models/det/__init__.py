@@ -1,6 +1,7 @@
 from .atss import ATSS
+from .faster_rcnn import FasterRCNN
 from .fcos import FCOS
 from .free_anchor import FreeAnchor
 from .retinanet import RetinaNet
 
-__all__ = ["ATSS", "FCOS", "FreeAnchor", "RetinaNet"]
+__all__ = ["ATSS", "FCOS", "FasterRCNN", "FreeAnchor", "RetinaNet"]
