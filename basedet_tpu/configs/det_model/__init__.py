@@ -3,5 +3,27 @@ from .faster_rcnn_cfg import FasterRCNNConfig
 from .fcos_cfg import FCOSConfig
 from .freeanchor_cfg import FreeAnchorConfig
 from .retinanet_cfg import RetinaNetConfig
+from .yolox_cfg import (
+    YOLOXConfig,
+    YOLOXLConfig,
+    YOLOXMConfig,
+    YOLOXNanoConfig,
+    YOLOXSConfig,
+    YOLOXTinyConfig,
+    YOLOXXConfig,
+)
 
-__all__ = ["ATSSConfig", "FCOSConfig", "FasterRCNNConfig", "FreeAnchorConfig", "RetinaNetConfig"]
+__all__ = [
+    "ATSSConfig",
+    "FCOSConfig",
+    "FasterRCNNConfig",
+    "FreeAnchorConfig",
+    "RetinaNetConfig",
+    "YOLOXConfig",
+    "YOLOXLConfig",
+    "YOLOXMConfig",
+    "YOLOXNanoConfig",
+    "YOLOXSConfig",
+    "YOLOXTinyConfig",
+    "YOLOXXConfig",
+]

@@ -1,0 +1,152 @@
+"""YOLO building blocks (flax.linen, NHWC).
+
+Capability analogue of /root/reference/basedet/layers/blocks/yolo_block.py:11-133
+(DepthwiseConvBlock, SPPBottleneck, Bottleneck, CSPLayer) and
+basic_block.py:14 (Focus). All use BN with YOLOX hyperparams threaded via
+``bn_eps``/``bn_momentum``.
+"""
+from __future__ import annotations
+
+from typing import Sequence
+
+import jax.numpy as jnp
+from flax import linen as nn
+
+from basedet_tpu.layers.common.blocks import get_activation, get_norm
+
+
+class _ConvBNAct(nn.Module):
+    out_channels: int
+    ksize: int = 1
+    stride: int = 1
+    groups: int = 1
+    act: str = "silu"
+    train: bool = False
+    bn_eps: float = 1e-3
+    bn_momentum: float = 0.97
+
+    @nn.compact
+    def __call__(self, x):
+        pad = (self.ksize - 1) // 2
+        x = nn.Conv(
+            self.out_channels, (self.ksize, self.ksize),
+            (self.stride, self.stride), padding=pad,
+            feature_group_count=self.groups, use_bias=False, name="conv",
+        )(x)
+        x = get_norm(
+            "BN", self.train, eps=self.bn_eps, momentum=self.bn_momentum
+        )()(x)
+        return get_activation(self.act)(x)
+
+
+class DepthwiseConvBlock(nn.Module):
+    out_channels: int
+    ksize: int = 3
+    stride: int = 1
+    act: str = "silu"
+    train: bool = False
+
+    @nn.compact
+    def __call__(self, x):
+        c_in = x.shape[-1]
+        x = _ConvBNAct(c_in, self.ksize, self.stride, groups=c_in,
+                       act=self.act, train=self.train, name="dconv")(x)
+        return _ConvBNAct(self.out_channels, 1, 1, act=self.act,
+                          train=self.train, name="pconv")(x)
+
+
+def make_conv(depthwise: bool):
+    return DepthwiseConvBlock if depthwise else _ConvBNAct
+
+
+class Focus(nn.Module):
+    """Space-to-depth stem (reference basic_block.py:14): 2x2 pixel
+    de-interleave → 4C channels → conv."""
+
+    out_channels: int
+    ksize: int = 3
+    act: str = "silu"
+    train: bool = False
+
+    @nn.compact
+    def __call__(self, x):
+        tl = x[:, 0::2, 0::2, :]
+        bl = x[:, 1::2, 0::2, :]
+        tr = x[:, 0::2, 1::2, :]
+        br = x[:, 1::2, 1::2, :]
+        x = jnp.concatenate([tl, bl, tr, br], axis=-1)
+        return _ConvBNAct(self.out_channels, self.ksize, 1, act=self.act,
+                          train=self.train, name="conv")(x)
+
+
+class SPPBottleneck(nn.Module):
+    out_channels: int
+    kernel_sizes: Sequence[int] = (5, 9, 13)
+    act: str = "silu"
+    train: bool = False
+
+    @nn.compact
+    def __call__(self, x):
+        hidden = x.shape[-1] // 2
+        x = _ConvBNAct(hidden, 1, 1, act=self.act, train=self.train,
+                       name="conv1")(x)
+        pools = [x]
+        for ks in self.kernel_sizes:
+            pools.append(
+                nn.max_pool(
+                    x, (ks, ks), strides=(1, 1),
+                    padding=((ks // 2, ks // 2), (ks // 2, ks // 2)),
+                )
+            )
+        x = jnp.concatenate(pools, axis=-1)
+        return _ConvBNAct(self.out_channels, 1, 1, act=self.act,
+                          train=self.train, name="conv2")(x)
+
+
+class Bottleneck(nn.Module):
+    out_channels: int
+    shortcut: bool = True
+    expansion: float = 0.5
+    depthwise: bool = False
+    act: str = "silu"
+    train: bool = False
+
+    @nn.compact
+    def __call__(self, x):
+        hidden = int(self.out_channels * self.expansion)
+        y = _ConvBNAct(hidden, 1, 1, act=self.act, train=self.train,
+                       name="conv1")(x)
+        Conv = make_conv(self.depthwise)
+        y = Conv(self.out_channels, 3, 1, act=self.act, train=self.train,
+                 name="conv2")(y)
+        if self.shortcut and x.shape[-1] == self.out_channels:
+            y = y + x
+        return y
+
+
+class CSPLayer(nn.Module):
+    """C3: CSP bottleneck with 3 convs (yolo_block.py:91-133)."""
+
+    out_channels: int
+    n: int = 1
+    shortcut: bool = True
+    expansion: float = 0.5
+    depthwise: bool = False
+    act: str = "silu"
+    train: bool = False
+
+    @nn.compact
+    def __call__(self, x):
+        hidden = int(self.out_channels * self.expansion)
+        x1 = _ConvBNAct(hidden, 1, 1, act=self.act, train=self.train,
+                        name="conv1")(x)
+        x2 = _ConvBNAct(hidden, 1, 1, act=self.act, train=self.train,
+                        name="conv2")(x)
+        for i in range(self.n):
+            x1 = Bottleneck(
+                hidden, self.shortcut, 1.0, self.depthwise, self.act,
+                self.train, name=f"m_{i}",
+            )(x1)
+        x = jnp.concatenate([x1, x2], axis=-1)
+        return _ConvBNAct(self.out_channels, 1, 1, act=self.act,
+                          train=self.train, name="conv3")(x)

@@ -109,8 +109,9 @@ class AnchorPointGenerator:
 
 @dataclass(frozen=True)
 class FastPointGenerator:
-    """YOLOX grid generator: per-level (H·W, 2) integer grid coords plus the
-    matching stride vector (anchor_generator.py:169-182)."""
+    """YOLOX grid generator (anchor_generator.py:169-182): per-level
+    (H·W, 2) anchor coords in IMAGE PIXELS (grid·stride, offset 0 → cell
+    top-left corners) plus the matching per-anchor stride vector."""
 
     strides: Sequence[int] = (8, 16, 32)
     offset: float = 0.0
@@ -118,7 +119,7 @@ class FastPointGenerator:
     def __call__(self, feat_sizes):
         grids, strides = [], []
         for size, stride in zip(feat_sizes, self.strides):
-            gx, gy = _grid_centers(size, 1, self.offset)
+            gx, gy = _grid_centers(size, stride, self.offset)
             grids.append(jnp.asarray(np.stack([gx, gy], axis=1)))
             strides.append(
                 jnp.full((size[0] * size[1],), float(stride), jnp.float32)

@@ -45,19 +45,27 @@ class FrozenBatchNorm(nn.Module):
         return x * mul + add
 
 
-def get_norm(name: Optional[str], train: bool = False, axis_name: Optional[str] = None):
+def get_norm(
+    name: Optional[str],
+    train: bool = False,
+    axis_name: Optional[str] = None,
+    eps: float = 1e-5,
+    momentum: float = 0.9,
+):
     """Return a norm-layer constructor by name (basecore get_norm analogue).
 
     "SyncBN" performs cross-replica statistics via ``axis_name`` (the
-    TPU-native analogue of MegEngine SyncBatchNorm over NCCL).
+    TPU-native analogue of MegEngine SyncBatchNorm over NCCL). ``eps`` /
+    ``momentum`` allow per-model BN hyperparams (YOLOX uses 1e-3 / 0.97,
+    reference yolox.py:35-36).
     """
     if name is None or name == "":
         return None
     if name in ("BN", "SyncBN"):
         return lambda: nn.BatchNorm(
             use_running_average=not train,
-            momentum=0.9,
-            epsilon=1e-5,
+            momentum=momentum,
+            epsilon=eps,
             axis_name=axis_name if name == "SyncBN" else None,
         )
     if name == "FrozenBN":

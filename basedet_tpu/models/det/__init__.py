@@ -3,5 +3,6 @@ from .faster_rcnn import FasterRCNN
 from .fcos import FCOS
 from .free_anchor import FreeAnchor
 from .retinanet import RetinaNet
+from .yolox import YOLOX
 
-__all__ = ["ATSS", "FCOS", "FasterRCNN", "FreeAnchor", "RetinaNet"]
+__all__ = ["ATSS", "FCOS", "FasterRCNN", "FreeAnchor", "RetinaNet", "YOLOX"]

@@ -1,0 +1,372 @@
+"""YOLOX — anchor-free YOLO with SimOTA assignment (TPU-native).
+
+Capability analogue of /root/reference/basedet/models/det/yolox.py:17-408.
+Static-shape redesign (the hardest dynamic path in the reference,
+SURVEY.md §3.3):
+  * the per-image python loop (:183-223) → vmap over the padded gt set;
+  * get_in_boxes_info's candidate-set reduction (:334-373) → full (K, R)
+    masks with cost gating (no boolean indexing);
+  * the (num_gt, cand, C) one-hot BCE cost tensor (:304-331) → a closed-form
+    (K, R) expression: BCE(p, onehot(y)) summed over classes =
+    Σ_c BCE(p_c, 0) + BCE(p_y, 1) − BCE(p_y, 0) — O(K·R) memory instead of
+    O(K·R·C);
+  * dynamic_k_matching's per-GT topk loop (:375-408) → rank-vs-k matrix
+    matching (layers/common/matcher.py topk_dynamic_k_matching);
+  * multiscale training: the synced random target_size becomes a
+    deterministic function of the global step (same schedule on every host,
+    no broadcast — replaces SyncSizeHook, engine/yolo_hooks.py:62-89),
+    applied by on-device bilinear resize in pre_process.
+"""
+from __future__ import annotations
+
+import functools
+from typing import Sequence, Tuple
+
+import jax
+import jax.numpy as jnp
+from flax import linen as nn
+
+from basedet_tpu.layers.backbone.yolo_pafpn import YOLOPAFPN
+from basedet_tpu.layers.common.anchor_generator import FastPointGenerator
+from basedet_tpu.layers.common.matcher import topk_dynamic_k_matching
+from basedet_tpu.layers.common.post_processing import post_processing
+from basedet_tpu.layers.head.yolo_head import YOLOXHead
+from basedet_tpu.layers.losses import binary_cross_entropy, iou_loss, smooth_l1_loss
+from basedet_tpu.models.base_net import BaseNet
+from basedet_tpu.models.cls.csp_darknet import CSPDarknet
+from basedet_tpu.ops.nms import NEG_INF
+from basedet_tpu.structures import convert_boxes
+from basedet_tpu.utils import registers
+
+from .retinanet import _flatten_level
+
+
+class YOLOXModule(nn.Module):
+    num_classes: int = 80
+    depth_factor: float = 1.0
+    width_factor: float = 1.0
+    depthwise: bool = False
+    act: str = "silu"
+    train: bool = False
+
+    @nn.compact
+    def __call__(self, image: jnp.ndarray):
+        feats = CSPDarknet(
+            depth_factor=self.depth_factor,
+            width_factor=self.width_factor,
+            depthwise=self.depthwise,
+            act=self.act,
+            train=self.train,
+            name="backbone",
+        )(image)
+        features = [feats["dark3"], feats["dark4"], feats["dark5"]]
+        pan_outs = YOLOPAFPN(
+            depth=self.depth_factor,
+            width=self.width_factor,
+            depthwise=self.depthwise,
+            act=self.act,
+            train=self.train,
+            name="pafpn",
+        )(features)
+        return YOLOXHead(
+            num_classes=self.num_classes,
+            mid_channels=int(256 * self.width_factor),
+            act=self.act,
+            depthwise=self.depthwise,
+            train=self.train,
+            name="head",
+        )(pan_outs)
+
+
+@registers.models.register()
+class YOLOX(BaseNet):
+    def __init__(self, cfg):
+        super().__init__(cfg)
+        self.strides = (8, 16, 32)
+        self.point_gen = FastPointGenerator(self.strides)
+        self.use_l1 = bool(cfg.MODEL.get("USE_L1", False))
+        self.img_mean = None  # YOLOX consumes raw pixels (yolox.py pre_process)
+        self.img_std = None
+
+    def make_module(self, train: bool) -> YOLOXModule:
+        m = self.cfg.MODEL
+        return YOLOXModule(
+            num_classes=self.num_classes,
+            depth_factor=m.DEPTH_FACTOR,
+            width_factor=m.WIDTH_FACTOR,
+            depthwise=m.DEPTHWISE,
+            act=m.ACTIVATION,
+            train=train,
+        )
+
+    # -- multiscale ----------------------------------------------------------------
+    def target_size_for_step(self, step: int) -> Tuple[int, int]:
+        """Deterministic multiscale schedule: every SYNC_ITER steps pick a
+        size from 32·[lo, hi] seeded by the step — identical on all hosts
+        (replaces the broadcast in SyncSizeHook)."""
+        setting = self.cfg.AUG.TRAIN_SETTING
+        lo, hi = setting.MULTISCALE_RANGE
+        sync = setting.get("SYNC_ITER", 10)
+        import numpy as np
+
+        rng = np.random.RandomState(int(step) // sync)
+        k = rng.randint(lo, hi + 1)
+        return (32 * k, 32 * k)
+
+    def resize_batch(self, batch, target_size: Tuple[int, int]):
+        """On-device bilinear resize of images + gt boxes to target_size
+        (yolox.py:71-98). Call outside jit with a static size, or bucket-jit."""
+        images = jnp.asarray(batch["data"])
+        h, w = images.shape[1:3]
+        th, tw = target_size
+        if (h, w) == (th, tw):
+            return batch
+        resized = jax.image.resize(
+            images, (images.shape[0], th, tw, 3), method="bilinear"
+        )
+        gt = jnp.asarray(batch["gt_boxes"])
+        scale = jnp.asarray([tw / w, th / h, tw / w, th / h], jnp.float32)
+        gt = gt.at[..., :4].set(gt[..., :4] * scale)
+        info = jnp.asarray(batch["im_info"])
+        info = info.at[:, 0].set(th).at[:, 1].set(tw)
+        return {**batch, "data": resized, "gt_boxes": gt, "im_info": info}
+
+    # -- assignment ----------------------------------------------------------------
+    def _assign_single(
+        self, anchors, strides_vec, gt, num_valid, pred_xcycwh, cls_logits, obj_logits
+    ):
+        """SimOTA for one image. Returns (fg_mask (R,), matched_gt (R,),
+        pred_ious (R,))."""
+        K = gt.shape[0]
+        R = anchors.shape[0]
+        gt_valid = jnp.arange(K) < num_valid
+        gt_xyxy = gt[:, :4]
+
+        # in-box / in-center masks (K, R)
+        ax = anchors[None, :, 0]
+        ay = anchors[None, :, 1]
+        in_boxes = (
+            jnp.minimum(
+                jnp.minimum(ax - gt_xyxy[:, None, 0], ay - gt_xyxy[:, None, 1]),
+                jnp.minimum(gt_xyxy[:, None, 2] - ax, gt_xyxy[:, None, 3] - ay),
+            )
+            > 0
+        )
+        centers = (gt_xyxy[:, :2] + gt_xyxy[:, 2:4]) * 0.5  # (K, 2)
+        radius = 2.5 * strides_vec[None, :]
+        in_centers = (
+            jnp.minimum(
+                jnp.minimum(
+                    ax - (centers[:, None, 0] - radius),
+                    ay - (centers[:, None, 1] - radius),
+                ),
+                jnp.minimum(
+                    (centers[:, None, 0] + radius) - ax,
+                    (centers[:, None, 1] + radius) - ay,
+                ),
+            )
+            > 0
+        )
+        in_boxes &= gt_valid[:, None]
+        in_centers &= gt_valid[:, None]
+        candidate = jnp.any(in_boxes, axis=0) | jnp.any(in_centers, axis=0)  # (R,)
+        both = in_boxes & in_centers
+
+        # pairwise IoU (K, R) between gt xyxy and decoded preds
+        pred_xyxy = convert_boxes(pred_xcycwh, "xcycwh", "xyxy")
+        from basedet_tpu.structures import box_iou
+
+        ious = box_iou(gt_xyxy, pred_xyxy)
+        ious = jnp.where(
+            gt_valid[:, None] & candidate[None, :], ious, 0.0
+        )
+
+        # classification cost (K, R) via the closed-form one-hot BCE
+        p = jnp.sqrt(
+            jax.nn.sigmoid(cls_logits) * jax.nn.sigmoid(obj_logits)
+        )  # (R, C)
+        eps = 1e-8
+        bce0 = -jnp.log(jnp.maximum(1 - p, eps))  # (R, C)
+        s0 = jnp.sum(bce0, axis=-1)  # (R,)
+        labels0 = jnp.clip(gt[:, 4].astype(jnp.int32) - 1, 0, self.num_classes - 1)
+        p_y = p[:, labels0].T  # (K, R)
+        # cls_cost = Σ_c BCE(p_c, 0) − BCE(p_y, 0) + BCE(p_y, 1)
+        #          = s0 + log(1 − p_y) − log(p_y)
+        cls_cost = (
+            s0[None, :]
+            + jnp.log(jnp.maximum(1 - p_y, eps))
+            - jnp.log(jnp.maximum(p_y, eps))
+        )
+
+        iou_cost = -jnp.log(ious + 1e-8)
+        cost = (
+            cls_cost
+            + 3.0 * iou_cost
+            + 100000.0 * (~both)
+            + 1e9 * (~candidate)[None, :]
+            + 1e9 * (~gt_valid)[:, None]
+        )
+
+        matched_gt, fg_mask = topk_dynamic_k_matching(
+            cost, ious, gt_valid, candidate_topk=10
+        )
+        fg_mask &= candidate
+        pred_iou = jnp.take_along_axis(
+            ious, matched_gt[None, :], axis=0
+        )[0]  # (R,)
+        return fg_mask, matched_gt, pred_iou
+
+    # -- train ------------------------------------------------------------------------
+    def get_losses(self, variables, batch, rng=None):
+        inputs = self.pre_process(batch, train=True)
+        module = self.make_module(train=True)
+        mutable = [k for k in variables if k == "batch_stats"]
+        if mutable:
+            (logits_l, offsets_l, objs_l), new_state = module.apply(
+                variables, inputs["image"], mutable=mutable
+            )
+        else:
+            logits_l, offsets_l, objs_l = module.apply(variables, inputs["image"])
+            new_state = {}
+
+        feat_sizes = [tuple(x.shape[1:3]) for x in logits_l]
+        grids_l, strides_l = self.point_gen(feat_sizes)
+        anchors = jnp.concatenate(grids_l, axis=0)          # (R, 2) pixels
+        strides_vec = jnp.concatenate(strides_l, axis=0)    # (R,)
+
+        C = self.num_classes
+        cls_logits = jnp.concatenate(
+            [_flatten_level(x, C) for x in logits_l], axis=1
+        )  # (B, R, C)
+        raw_offsets = jnp.concatenate(
+            [_flatten_level(x, 4) for x in offsets_l], axis=1
+        )  # (B, R, 4)
+        obj_logits = jnp.concatenate(
+            [_flatten_level(x, 1) for x in objs_l], axis=1
+        )[..., 0]  # (B, R)
+
+        # decode to xcycwh in image pixels (yolox.py:169-172)
+        xy = raw_offsets[..., :2] * strides_vec[None, :, None] + anchors[None, :, :]
+        wh = jnp.exp(raw_offsets[..., 2:4]) * strides_vec[None, :, None]
+        pred_xcycwh = jnp.concatenate([xy, wh], axis=-1)
+
+        gt_boxes = inputs["gt_boxes"]
+        num_valid = inputs["img_info"][:, 4].astype(jnp.int32)
+
+        fg_mask, matched_gt, pred_iou = jax.lax.stop_gradient(
+            jax.vmap(
+                functools.partial(self._assign_single, anchors, strides_vec)
+            )(gt_boxes, num_valid, pred_xcycwh, cls_logits, obj_logits[..., None])
+        )
+
+        matched = jnp.take_along_axis(
+            gt_boxes, matched_gt[..., None], axis=1
+        )  # (B, R, 5)
+        num_fg = jnp.maximum(jnp.sum(fg_mask).astype(jnp.float32), 1.0)
+
+        # iou loss (square IoU between pred and gt, both xcycwh)
+        gt_xcycwh = convert_boxes(matched[..., :4], "xyxy", "xcycwh")
+        loss_iou = (
+            jnp.sum(
+                iou_loss(pred_xcycwh, gt_xcycwh, box_mode="xcycwh",
+                         loss_type="square_iou") * fg_mask
+            )
+            / num_fg
+            * 5.0
+        )
+
+        # obj loss over all anchors
+        loss_obj = jnp.sum(
+            binary_cross_entropy(
+                obj_logits, fg_mask.astype(obj_logits.dtype), with_logits=True
+            )
+        ) / num_fg
+
+        # cls loss over fg anchors: target = onehot(cls) * pred_iou
+        labels0 = jnp.clip(matched[..., 4].astype(jnp.int32) - 1, 0, C - 1)
+        cls_target = (
+            jax.nn.one_hot(labels0, C, dtype=cls_logits.dtype)
+            * pred_iou[..., None]
+        )
+        loss_cls = jnp.sum(
+            binary_cross_entropy(cls_logits, cls_target, with_logits=True)
+            * fg_mask[..., None]
+        ) / num_fg
+
+        if self.use_l1:
+            cx_t = ((matched[..., 0] + matched[..., 2]) * 0.5 - anchors[None, :, 0]) / strides_vec
+            cy_t = ((matched[..., 1] + matched[..., 3]) * 0.5 - anchors[None, :, 1]) / strides_vec
+            w_t = jnp.log(
+                jnp.maximum(matched[..., 2] - matched[..., 0], 1e-8) / strides_vec
+            )
+            h_t = jnp.log(
+                jnp.maximum(matched[..., 3] - matched[..., 1], 1e-8) / strides_vec
+            )
+            l1_target = jnp.stack([cx_t, cy_t, w_t, h_t], axis=-1)
+            loss_l1 = jnp.sum(
+                smooth_l1_loss(raw_offsets, l1_target, beta=0.0)
+                * fg_mask[..., None]
+            ) / num_fg
+        else:
+            loss_l1 = jnp.zeros(())
+
+        total = loss_iou + loss_obj + loss_cls + loss_l1
+        return total, {
+            "total_loss": total,
+            "iou_loss": loss_iou,
+            "obj_loss": loss_obj,
+            "cls_loss": loss_cls,
+            "l1_loss": loss_l1,
+        }, new_state
+
+    # -- eval ---------------------------------------------------------------------------
+    def inference(self, variables, batch):
+        inputs = self.pre_process(batch, train=False)
+        module = self.make_module(train=False)
+        logits_l, offsets_l, objs_l = module.apply(variables, inputs["image"])
+        feat_sizes = [tuple(x.shape[1:3]) for x in logits_l]
+        grids_l, strides_l = self.point_gen(feat_sizes)
+        test_cfg = self.cfg.TEST
+        C = self.num_classes
+
+        def single_image(logits_pl, offsets_pl, objs_pl, img_info):
+            cand_boxes, cand_scores, cand_labels = [], [], []
+            for logits, offsets, obj, grid, stride in zip(
+                logits_pl, offsets_pl, objs_pl, grids_l,
+                [s[0] for s in strides_l],
+            ):
+                score = jnp.sqrt(
+                    jax.nn.sigmoid(logits) * jax.nn.sigmoid(obj)
+                ).reshape(-1)  # (R_l*C,)
+                xy = offsets[:, :2] * stride + grid
+                wh = jnp.exp(offsets[:, 2:4]) * stride
+                boxes = convert_boxes(
+                    jnp.concatenate([xy, wh], axis=-1), "xcycwh", "xyxy"
+                )
+                k = min(1000, score.shape[0])
+                top_scores, top_idx = jax.lax.top_k(score, k)
+                keep = top_scores > test_cfg.CLS_THRESHOLD
+                cand_boxes.append(boxes[top_idx // C])
+                cand_scores.append(jnp.where(keep, top_scores, NEG_INF))
+                cand_labels.append(top_idx % C)
+            return post_processing(
+                jnp.concatenate(cand_boxes, axis=0),
+                jnp.concatenate(cand_scores, axis=0),
+                jnp.concatenate(cand_labels, axis=0),
+                img_info,
+                iou_threshold=test_cfg.IOU_THRESHOLD,
+                max_detections=test_cfg.MAX_BOXES_PER_IMAGE,
+            )
+
+        logits_b = [_flatten_level(x, C) for x in logits_l]
+        offsets_b = [_flatten_level(x, 4) for x in offsets_l]
+        objs_b = [_flatten_level(x, 1) for x in objs_l]
+        boxes, scores, labels, valid = jax.vmap(single_image)(
+            logits_b, offsets_b, objs_b, inputs["img_info"]
+        )
+        return {
+            "boxes": boxes,
+            "box_scores": scores,
+            "box_labels": labels,
+            "valid": valid,
+        }
