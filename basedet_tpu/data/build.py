@@ -60,6 +60,53 @@ class DataloaderBuilder:
         return build_coco_train_loader(cfg, global_batch)
 
 
+@registers.dataloader.register()
+class YOLOXDataloaderBuilder:
+    """Mosaic/MixUp pipeline (reference data/build.py:188-227): COCO →
+    MosaicDataset → random sampling → pad collator at the (static) input
+    size. The no-aug phase toggles ``enable_mosaic`` on the returned
+    loader's ``.mosaic_dataset``."""
+
+    @classmethod
+    def build(cls, cfg):
+        import jax
+
+        world = jax.device_count()
+        global_batch = cfg.MODEL.BATCHSIZE * world
+        name = cfg.DATA.TRAIN.get("name", "dummy")
+        if name == "dummy":
+            size = tuple(cfg.AUG.TRAIN_SETTING.INPUT_SIZE)
+            loader = DummyLoader(
+                batch_size=global_batch,
+                image_size=size,
+                max_instances=cfg.DATA.get("MAX_INSTANCES", 100),
+                num_classes=cfg.DATA.NUM_CLASSES,
+            )
+            return _InfiniteIter(lambda: iter(loader))
+        from basedet_tpu.data.coco_loader import build_yolox_train_loader
+
+        return build_yolox_train_loader(cfg, global_batch)
+
+
+@registers.dataloader.register()
+class DETRDataloaderBuilder(DataloaderBuilder):
+    """DETR pipeline: default builder + mask-emitting collator
+    (reference data/build.py:180-186)."""
+
+    @classmethod
+    def build(cls, cfg):
+        import jax
+
+        name = cfg.DATA.TRAIN.get("name", "dummy")
+        world = jax.device_count()
+        global_batch = cfg.MODEL.BATCHSIZE * world
+        if name == "dummy":
+            return super().build(cfg)
+        from basedet_tpu.data.coco_loader import build_coco_train_loader
+
+        return build_coco_train_loader(cfg, global_batch, with_mask=True)
+
+
 def build_test_dataloader(cfg, dataset_name: Optional[str] = None):
     """Eval loader: contiguous shard per host, batch 1 semantics preserved
     (reference data/build.py:108-116 + InferenceSampler)."""

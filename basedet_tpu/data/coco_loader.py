@@ -72,7 +72,7 @@ class _MappedLoader:
             yield self.collator(records)
 
 
-def build_coco_train_loader(cfg, global_batch: int):
+def build_coco_train_loader(cfg, global_batch: int, with_mask: bool = False):
     images_dir, anno = resolve_dataset(cfg.DATA.TRAIN.name)
     dataset = COCODataset(
         images_dir,
@@ -85,12 +85,59 @@ def build_coco_train_loader(cfg, global_batch: int):
     sampler = AspectRatioGroupSampler(
         dataset.aspect_ratios(), batch_size=global_batch
     )
-    collator = DetectionPadCollator(
+    collator_cls = DETRPadCollator if with_mask else DetectionPadCollator
+    collator = collator_cls(
         max_instances=cfg.DATA.get("MAX_INSTANCES", 100),
         size_buckets=cfg.DATA.get("SIZE_BUCKETS", None),
     )
     loader = _MappedLoader(dataset, transform, lambda: iter(sampler), collator)
     return PrefetchIterator(lambda: iter(loader), depth=2, infinite=True)
+
+
+def build_yolox_train_loader(cfg, global_batch: int):
+    """Mosaic/MixUp loader at the (static) YOLOX input size."""
+    import random as _random
+
+    from basedet_tpu.data.datasets.mosaic_dataset import MosaicDataset
+    from basedet_tpu.data.transforms.yolox_transform import TrainTransform
+
+    images_dir, anno = resolve_dataset(cfg.DATA.TRAIN.name)
+    dataset = COCODataset(images_dir, anno, remove_images_without_annotations=True)
+    setting = cfg.AUG.TRAIN_SETTING
+    mosaic_ds = MosaicDataset(
+        dataset,
+        img_size=tuple(setting.INPUT_SIZE),
+        mosaic=True,
+        preproc=TrainTransform(
+            flip_prob=setting.get("FLIP_PROB", 0.5),
+            hsv_prob=setting.get("HSV_PROB", 1.0),
+        ),
+        degrees=setting.DEGREES,
+        translate=setting.TRANSLATE,
+        mosaic_scale=tuple(setting.MOSAIC_SCALE),
+        mixup_scale=tuple(setting.MIXUP_SCALE),
+        shear=setting.SHEAR,
+        enable_mixup=setting.ENABLE_MIXUP,
+        mosaic_prob=setting.MOSAIC_PROB,
+        mixup_prob=setting.MIXUP_PROB,
+    )
+    collator = DetectionPadCollator(
+        max_instances=cfg.DATA.get("MAX_INSTANCES", 100)
+    )
+
+    def epoch_iter():
+        idxs = list(range(len(mosaic_ds)))
+        _random.shuffle(idxs)
+        batch = []
+        for i in idxs:
+            batch.append(mosaic_ds[i])
+            if len(batch) == global_batch:
+                yield collator(batch)
+                batch = []
+
+    loader = PrefetchIterator(epoch_iter, depth=2, infinite=True)
+    loader.mosaic_dataset = mosaic_ds
+    return loader
 
 
 class TestLoader:

@@ -6,6 +6,7 @@ import os
 from basedet_tpu.utils import registers
 
 from .hooks import (
+    BaseHook,
     CheckpointHook,
     EvalHook,
     LoggerHook,
@@ -37,14 +38,35 @@ class SimpleHookList:
         return hooks
 
 
+class YoloxNoAugHook(BaseHook):
+    """Enter the no-aug phase for the last NO_AUG_EPOCH epochs: disable
+    mosaic/mixup and enable the L1 loss term, re-jitting the step
+    (reference YOLOXHookList + use_l1 toggling, engine/build.py:50-85)."""
+
+    def before_epoch(self):
+        t = self.trainer
+        setting = t.cfg.AUG.get("TRAIN_SETTING", {})
+        no_aug = setting.get("NO_AUG_EPOCH", 0)
+        if not no_aug:
+            return
+        in_no_aug = t.progress.epoch > t.progress.max_epoch - no_aug
+        if in_no_aug and not getattr(t.model, "use_l1", False):
+            t.model.use_l1 = True
+            mosaic_ds = getattr(t.dataloader, "mosaic_dataset", None)
+            if mosaic_ds is not None:
+                mosaic_ds.enable_mosaic = False
+                mosaic_ds.enable_mixup = False
+            t.rebuild_train_step()
+
+
 @registers.hooks.register()
 class YOLOXHookList(SimpleHookList):
-    """YOLOX hooks: cosine LR lives in the compiled schedule
-    (solver/schedules.py yolox_cosine_lr); multiscale sync is handled by the
-    dataloader's synced size sampling (reference engine/build.py:48-85 +
-    yolo_hooks.py:62-89 — on TPU the size schedule is deterministic from the
-    step counter, no broadcast needed)."""
+    """YOLOX hooks (reference engine/build.py:48-85): cosine LR lives in the
+    compiled schedule (solver/schedules.py yolox_cosine_lr); multiscale sync
+    is a deterministic function of the step (models/det/yolox.py
+    target_size_for_step — no broadcast needed); the no-aug switch is a
+    hook."""
 
     @classmethod
     def build(cls, cfg):
-        return super().build(cfg)
+        return super().build(cfg) + [YoloxNoAugHook()]

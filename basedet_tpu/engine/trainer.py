@@ -47,9 +47,9 @@ class DetTrainer:
         )
 
         self.ema_enabled = bool(cfg.TRAINER.EMA.get("ENABLE", False))
-        self._train_step = jax.jit(
-            make_train_step(model, solver, cfg), donate_argnums=(0,)
-        )
+        self.rebuild_train_step()
+        # models may map batches per step (e.g. YOLOX multiscale resize)
+        self.batch_mapper = getattr(model, "train_batch_mapper", None)
 
         self.state: Optional[TrainState] = None
         self.evaluator = None
@@ -95,9 +95,20 @@ class DetTrainer:
         self._call_hooks("after_train")
         logger.info("training finished")
 
+    def rebuild_train_step(self):
+        """(Re-)jit the step; called at init and when the loss graph changes
+        (e.g. YOLOX no-aug phase enabling the L1 term)."""
+        self._train_step = jax.jit(
+            make_train_step(self.model, self.solver, self.cfg),
+            donate_argnums=(0,),
+        )
+
     def train_one_iter(self, data_iter):
         t0 = time.perf_counter()
-        batch = next(data_iter)
+        batch = dict(next(data_iter))
+        batch.pop("image_id", None)
+        if self.batch_mapper is not None:
+            batch = self.batch_mapper(batch, self.progress.current_iter)
         batch = shard_batch(dict(batch), self.mesh)
         t1 = time.perf_counter()
         self.state, metrics = self._train_step(self.state, batch)

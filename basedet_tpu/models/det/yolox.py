@@ -131,6 +131,12 @@ class YOLOX(BaseNet):
         info = info.at[:, 0].set(th).at[:, 1].set(tw)
         return {**batch, "data": resized, "gt_boxes": gt, "im_info": info}
 
+    def train_batch_mapper(self, batch, step: int):
+        """Hook for the trainer: multiscale resize before the jitted step
+        (one compiled step per size bucket — the sizes are a small static
+        set 32·[14..26], engine/build.py:63-64 in the reference)."""
+        return self.resize_batch(batch, self.target_size_for_step(step))
+
     # -- assignment ----------------------------------------------------------------
     def _assign_single(
         self, anchors, strides_vec, gt, num_valid, pred_xcycwh, cls_logits, obj_logits
