@@ -3,6 +3,7 @@ from .faster_rcnn_cfg import FasterRCNNConfig
 from .fcos_cfg import FCOSConfig
 from .freeanchor_cfg import FreeAnchorConfig
 from .retinanet_cfg import RetinaNetConfig
+from .yolov3_cfg import YOLOv3Config
 from .yolox_cfg import (
     YOLOXConfig,
     YOLOXLConfig,
@@ -20,6 +21,7 @@ __all__ = [
     "FreeAnchorConfig",
     "RetinaNetConfig",
     "YOLOXConfig",
+    "YOLOv3Config",
     "YOLOXLConfig",
     "YOLOXMConfig",
     "YOLOXNanoConfig",

@@ -3,6 +3,7 @@ from .faster_rcnn import FasterRCNN
 from .fcos import FCOS
 from .free_anchor import FreeAnchor
 from .retinanet import RetinaNet
+from .yolov3 import YOLOv3
 from .yolox import YOLOX
 
-__all__ = ["ATSS", "FCOS", "FasterRCNN", "FreeAnchor", "RetinaNet", "YOLOX"]
+__all__ = ["ATSS", "FCOS", "FasterRCNN", "FreeAnchor", "RetinaNet", "YOLOX", "YOLOv3"]
