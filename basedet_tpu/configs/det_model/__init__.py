@@ -1,4 +1,5 @@
 from .atss_cfg import ATSSConfig
+from .centernet_cfg import CenterNetConfig
 from .faster_rcnn_cfg import FasterRCNNConfig
 from .fcos_cfg import FCOSConfig
 from .freeanchor_cfg import FreeAnchorConfig
@@ -16,6 +17,7 @@ from .yolox_cfg import (
 
 __all__ = [
     "ATSSConfig",
+    "CenterNetConfig",
     "FCOSConfig",
     "FasterRCNNConfig",
     "FreeAnchorConfig",

@@ -1,0 +1,245 @@
+"""CenterNet — keypoint-based detector (TPU-native).
+
+Capability analogue of /root/reference/basedet/models/det/centernet.py:18-452.
+Static-shape redesign:
+  * gaussian score maps (:378-452, per-gt python drawing loop) become one
+    vectorized (K, H, W) gaussian computation + a class-indexed scatter-max;
+  * decode (:245-375: 3x3 maxpool pseudo-NMS + double top-k) is unchanged in
+    spirit — it was already static — re-expressed in NHWC;
+  * box back-transform uses the framework's standard cur→orig rescale
+    (the reference's affine-crop test path reduces to this under plain
+    resize evaluation).
+"""
+from __future__ import annotations
+
+import functools
+import math
+from typing import Dict
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from flax import linen as nn
+
+from basedet_tpu.layers.head.center_head import CenterHead, CenternetDeconv
+from basedet_tpu.models.base_net import BaseNet
+from basedet_tpu.models.cls.resnet import ResNet
+from basedet_tpu.structures.box_ops import clip_boxes
+from basedet_tpu.utils import registers
+
+
+def gaussian_radius(w, h, min_overlap: float = 0.7):
+    """CornerNet radius (reference centernet.py:395-423, bug-version kept
+    for parity)."""
+    a1 = 1.0
+    b1 = h + w
+    c1 = w * h * (1 - min_overlap) / (1 + min_overlap)
+    r1 = (b1 + jnp.sqrt(jnp.maximum(b1 ** 2 - 4 * a1 * c1, 0))) / 2
+    a2 = 4.0
+    b2 = 2 * (h + w)
+    c2 = (1 - min_overlap) * w * h
+    r2 = (b2 + jnp.sqrt(jnp.maximum(b2 ** 2 - 4 * a2 * c2, 0))) / 2
+    a3 = 4.0 * min_overlap
+    b3 = -2 * min_overlap * (h + w)
+    c3 = (min_overlap - 1) * w * h
+    r3 = (b3 + jnp.sqrt(jnp.maximum(b3 ** 2 - 4 * a3 * c3, 0))) / (2 * a3)
+    return jnp.minimum(jnp.minimum(r1, r2), r3)
+
+
+class CenterNetModule(nn.Module):
+    cfg: dict
+    train: bool = False
+
+    @nn.compact
+    def __call__(self, image):
+        from flax.core import unfreeze
+
+        from basedet_tpu.utils import ConfigDict
+
+        cfg = ConfigDict(unfreeze(self.cfg))
+        m = cfg.MODEL
+        feats = ResNet(
+            arch=m.BACKBONE.NAME,
+            norm=m.BACKBONE.NORM,
+            freeze_at=m.BACKBONE.FREEZE_AT,
+            out_features=("res5",),
+            train=self.train,
+            name="bottom_up",
+        )(image)
+        up = CenternetDeconv(
+            channels=tuple(m.HEAD.DECONV_CHANNEL),
+            deconv_kernels=tuple(m.HEAD.DECONV_KERNEL),
+            modulate_deform=m.HEAD.MODULATE_DEFORM,
+            train=self.train,
+            name="upsample",
+        )(feats["res5"])
+        return CenterHead(
+            num_classes=cfg.DATA.NUM_CLASSES,
+            prior_prob=m.HEAD.CLS_PRIOR_PROB,
+            name="head",
+        )(up)
+
+
+@registers.models.register()
+class CenterNet(BaseNet):
+    def make_module(self, train: bool) -> CenterNetModule:
+        return CenterNetModule(cfg=self.cfg, train=train)
+
+    # -- ground truth ---------------------------------------------------------
+    def _gt_single(self, out_hw, gt, num_valid):
+        """One image → (score_map (H, W, C), wh (K, 2), reg (K, 2),
+        mask (K,), index (K,))."""
+        H, W = out_hw
+        C = self.num_classes
+        scale = 1.0 / self.cfg.MODEL.HEAD.DOWN_SCALE
+        K = gt.shape[0]
+        valid = (jnp.arange(K) < num_valid)
+        boxes = gt[:, :4] * scale
+        w = boxes[:, 2] - boxes[:, 0]
+        h = boxes[:, 3] - boxes[:, 1]
+        valid &= (w > 0) & (h > 0)
+        cls = jnp.clip(gt[:, 4].astype(jnp.int32) - 1, 0, C - 1)
+
+        cx = (boxes[:, 0] + boxes[:, 2]) * 0.5
+        cy = (boxes[:, 1] + boxes[:, 3]) * 0.5
+        cxi = cx.astype(jnp.int32)
+        cyi = cy.astype(jnp.int32)
+        in_map = (cxi >= 0) & (cxi < W) & (cyi >= 0) & (cyi < H)
+        valid &= in_map
+
+        index = jnp.where(valid, cyi * W + cxi, 0)
+        reg = jnp.stack([cx - cxi, cy - cyi], axis=-1) * valid[:, None]
+        wh = jnp.stack([w, h], axis=-1) * valid[:, None]
+
+        radius = jnp.maximum(
+            jnp.floor(gaussian_radius(w, h, self.cfg.MODEL.HEAD.MIN_OVERLAP)),
+            0.0,
+        )
+        sigma = (2 * radius + 1) / 6.0
+        ys = jnp.arange(H, dtype=jnp.float32)[:, None]  # (H, 1)
+        xs = jnp.arange(W, dtype=jnp.float32)[None, :]  # (1, W)
+        dy = ys[None] - cyi[:, None, None].astype(jnp.float32)  # (K, H, 1)
+        dx = xs[None] - cxi[:, None, None].astype(jnp.float32)  # (K, 1, W)
+        g = jnp.exp(
+            -(dx ** 2 + dy ** 2) / jnp.maximum(2 * sigma[:, None, None] ** 2, 1e-6)
+        )
+        within = (
+            (jnp.abs(dy) <= radius[:, None, None])
+            & (jnp.abs(dx) <= radius[:, None, None])
+        )
+        g = jnp.where(within & valid[:, None, None], g, 0.0)  # (K, H, W)
+        score_map = (
+            jnp.zeros((C, H, W)).at[cls].max(g)
+        ).transpose(1, 2, 0)  # (H, W, C)
+        return score_map, wh, reg, valid.astype(jnp.float32), index
+
+    # -- train ------------------------------------------------------------------
+    def get_losses(self, variables, batch, rng=None):
+        inputs = self.pre_process(batch, train=True)
+        module = self.make_module(train=True)
+        mutable = [k for k in variables if k == "batch_stats"]
+        if mutable:
+            pred, new_state = module.apply(
+                variables, inputs["image"], mutable=mutable
+            )
+        else:
+            pred = module.apply(variables, inputs["image"])
+            new_state = {}
+
+        out_hw = tuple(pred["cls"].shape[1:3])
+        gt_boxes = inputs["gt_boxes"]
+        num_valid = inputs["img_info"][:, 4].astype(jnp.int32)
+        score_map, wh_t, reg_t, mask, index = jax.lax.stop_gradient(
+            jax.vmap(functools.partial(self._gt_single, out_hw))(
+                gt_boxes, num_valid
+            )
+        )
+
+        # modified focal loss (centernet.py:218-242)
+        p = jnp.clip(pred["cls"].astype(jnp.float32), 1e-12, 1 - 1e-7)
+        gtmap = score_map
+        pos = (gtmap == 1.0).astype(jnp.float32)
+        neg = 1.0 - pos
+        neg_w = (1 - gtmap) ** 4
+        pos_loss = jnp.sum(jnp.log(p) * (1 - p) ** 2 * pos)
+        neg_loss = jnp.sum(jnp.log(1 - p) * p ** 2 * neg_w * neg)
+        num_pos = jnp.sum(pos)
+        loss_cls = jnp.where(
+            num_pos == 0, -neg_loss, -(pos_loss + neg_loss) / jnp.maximum(num_pos, 1)
+        )
+
+        # gather predictions at gt centers
+        def gather_at(featmap, idx):
+            B = featmap.shape[0]
+            flat = featmap.reshape(B, -1, featmap.shape[-1])
+            return jnp.take_along_axis(
+                flat, idx[..., None].astype(jnp.int32), axis=1
+            )
+
+        norm = jnp.sum(mask) * 2 + 1e-4
+        pred_wh = gather_at(pred["wh"], index)
+        loss_wh = jnp.sum(jnp.abs(pred_wh - wh_t) * mask[..., None]) / norm
+        pred_reg = gather_at(pred["reg"], index)
+        loss_reg = jnp.sum(jnp.abs(pred_reg - reg_t) * mask[..., None]) / norm
+
+        lcfg = self.cfg.MODEL.LOSS
+        loss_cls = loss_cls * lcfg.CLS_WEIGHT
+        loss_wh = loss_wh * lcfg.WH_WEIGHT
+        loss_reg = loss_reg * lcfg.REG_WEIGHT
+        total = loss_cls + loss_wh + loss_reg
+        return total, {
+            "total_loss": total,
+            "loss_cls": loss_cls,
+            "loss_box_wh": loss_wh,
+            "loss_center_reg": loss_reg,
+        }, new_state
+
+    # -- eval --------------------------------------------------------------------
+    def inference(self, variables, batch):
+        inputs = self.pre_process(batch, train=False)
+        module = self.make_module(train=False)
+        pred = module.apply(variables, inputs["image"])
+        down = float(self.cfg.MODEL.HEAD.DOWN_SCALE)
+        D = self.cfg.TEST.MAX_BOXES_PER_IMAGE
+        C = self.num_classes
+
+        fmap = pred["cls"]  # (B, H, W, C)
+        # pseudo-NMS: 3x3 maxpool equality
+        fmax = nn.max_pool(fmap, (3, 3), strides=(1, 1), padding=((1, 1), (1, 1)))
+        fmap = jnp.where(fmax == fmap, fmap, 0.0)
+        B, H, W, _ = fmap.shape
+
+        def single(fm, wh, reg, img_info):
+            scores = fm.reshape(-1)  # (H*W*C,) row-major y, x, c
+            top_scores, top_idx = jax.lax.top_k(scores, D)
+            cls_idx = top_idx % C
+            cell = top_idx // C
+            ys = (cell // W).astype(jnp.float32)
+            xs = (cell % W).astype(jnp.float32)
+            r = reg.reshape(-1, 2)[cell]
+            xs = xs + r[:, 0]
+            ys = ys + r[:, 1]
+            size = wh.reshape(-1, 2)[cell]
+            boxes = jnp.stack(
+                [
+                    xs - size[:, 0] / 2, ys - size[:, 1] / 2,
+                    xs + size[:, 0] / 2, ys + size[:, 1] / 2,
+                ],
+                axis=-1,
+            ) * down
+            scale_y = img_info[2] / img_info[0]
+            scale_x = img_info[3] / img_info[1]
+            boxes = boxes * jnp.stack([scale_x, scale_y, scale_x, scale_y])
+            boxes = clip_boxes(boxes, (img_info[2], img_info[3]))
+            valid = top_scores > self.cfg.TEST.get("CLS_THRESHOLD", 0.05)
+            return boxes, top_scores, cls_idx, valid
+
+        boxes, scores, labels, valid = jax.vmap(single)(
+            fmap, pred["wh"], pred["reg"], inputs["img_info"]
+        )
+        return {
+            "boxes": boxes,
+            "box_scores": scores,
+            "box_labels": labels,
+            "valid": valid,
+        }
