@@ -1,5 +1,6 @@
 from .atss_cfg import ATSSConfig
 from .centernet_cfg import CenterNetConfig
+from .detr_cfg import DETRConfig
 from .faster_rcnn_cfg import FasterRCNNConfig
 from .fcos_cfg import FCOSConfig
 from .freeanchor_cfg import FreeAnchorConfig
@@ -18,6 +19,7 @@ from .yolox_cfg import (
 __all__ = [
     "ATSSConfig",
     "CenterNetConfig",
+    "DETRConfig",
     "FCOSConfig",
     "FasterRCNNConfig",
     "FreeAnchorConfig",

@@ -194,3 +194,40 @@ def hungarian_match_auction(
     )
     fallback = jnp.argmin(cost, axis=1).astype(jnp.int32)
     return jnp.where(assign >= 0, assign, fallback)
+
+
+def hungarian_match_owner(
+    cost: jnp.ndarray, n_iters: int = 200, eps_scale: float = 1e-3
+) -> jnp.ndarray:
+    """Auction assignment returning the TARGET→QUERY direction DETR needs:
+    for each of K (padded) targets, the index of the query that won it
+    (-1 if unassigned after n_iters — rare when Q ≥ K). Invalid targets
+    should carry +large cost; their owners are ignored by the caller's
+    validity mask."""
+    Q, K = cost.shape
+    eps = eps_scale * (jnp.max(cost) - jnp.min(cost) + 1e-6)
+
+    def body(_, state):
+        prices, owner = state
+        value = -cost - prices[None, :]
+        # queries currently owning an item don't bid again
+        owned_by = jnp.full((Q,), False).at[
+            jnp.where(owner >= 0, owner, Q)
+        ].set(True, mode="drop")
+        best = jnp.argmax(value, axis=1)
+        top2 = jax.lax.top_k(value, 2)[0]
+        bid = jnp.where(owned_by, 0.0, top2[:, 0] - top2[:, 1] + eps)
+        bids = jnp.zeros((Q, K)).at[jnp.arange(Q), best].set(bid)
+        high_bid = jnp.max(bids, axis=0)
+        high_bidder = jnp.argmax(bids, axis=0)
+        won = high_bid > 0
+        # the previous owner of a re-won item becomes free automatically
+        # (it will bid again next round since owned_by recomputes)
+        prices = jnp.where(won, prices + high_bid, prices)
+        owner = jnp.where(won, high_bidder, owner)
+        return prices, owner
+
+    prices = jnp.zeros((K,))
+    owner = jnp.full((K,), -1, jnp.int32)
+    _, owner = jax.lax.fori_loop(0, n_iters, body, (prices, owner))
+    return owner

@@ -1,5 +1,6 @@
 from .atss import ATSS
 from .centernet import CenterNet
+from .detr import DETR
 from .faster_rcnn import FasterRCNN
 from .fcos import FCOS
 from .free_anchor import FreeAnchor
@@ -7,4 +8,4 @@ from .retinanet import RetinaNet
 from .yolov3 import YOLOv3
 from .yolox import YOLOX
 
-__all__ = ["ATSS", "CenterNet", "FCOS", "FasterRCNN", "FreeAnchor", "RetinaNet", "YOLOX", "YOLOv3"]
+__all__ = ["ATSS", "CenterNet", "DETR", "FCOS", "FasterRCNN", "FreeAnchor", "RetinaNet", "YOLOX", "YOLOv3"]

@@ -1,0 +1,266 @@
+"""DETR — end-to-end set prediction (TPU-native).
+
+Capability analogue of /root/reference/basedet/models/det/detr.py:22-248.
+Static-shape redesign:
+  * HungarianMatcher's scipy ``linear_sum_assignment`` host call (matcher.py:
+    54-103) becomes an ON-DEVICE fixed-iteration auction algorithm
+    (layers/common/matcher.py hungarian_match_owner) vmapped over the batch
+    — padded gt rows carry +large cost and are masked out of the losses;
+  * per-image target dicts become padded (B, K, 5) tensors with validity
+    masks; the ``num_boxes`` all-reduce (:190) is the global-batch sum.
+Background class index is NUM_CLASSES (last), matching DETR convention.
+"""
+from __future__ import annotations
+
+import functools
+from typing import Dict
+
+import jax
+import jax.numpy as jnp
+from flax import linen as nn
+
+from basedet_tpu.layers.blocks.transformer import (
+    MLP,
+    LearnedPositionEmbedding,
+    Transformer,
+    sine_position_embedding,
+)
+from basedet_tpu.layers.common.matcher import hungarian_match_owner
+from basedet_tpu.layers.losses import iou_loss
+from basedet_tpu.models.base_net import BaseNet
+from basedet_tpu.models.cls.resnet import ResNet
+from basedet_tpu.structures import convert_boxes
+from basedet_tpu.structures.box_ops import clip_boxes
+from basedet_tpu.utils import registers
+
+
+class DETRModule(nn.Module):
+    cfg: dict
+    train: bool = False
+
+    @nn.compact
+    def __call__(self, image, mask):
+        from flax.core import unfreeze
+
+        from basedet_tpu.utils import ConfigDict
+
+        cfg = ConfigDict(unfreeze(self.cfg))
+        m = cfg.MODEL
+        feats = ResNet(
+            arch=m.BACKBONE.NAME,
+            norm=m.BACKBONE.NORM,
+            freeze_at=m.BACKBONE.FREEZE_AT,
+            out_features=("res5",),
+            train=self.train,
+            name="bottom_up",
+        )(image)
+        src = feats["res5"]
+        B, H, W, _ = src.shape
+        # nearest-downsample the pixel padding mask to the feature grid
+        fh = image.shape[1] // H
+        fw = image.shape[2] // W
+        feat_mask = mask[:, ::fh, ::fw][:, :H, :W] < 0.5  # True = padding
+
+        dim = m.TRANSFORMER.DIM
+        if m.POS_EMBED == "sine":
+            pos = sine_position_embedding(feat_mask, num_pos_feats=dim // 2)
+        else:
+            pos = LearnedPositionEmbedding(num_pos_feats=dim // 2,
+                                           name="pos_embed")(feat_mask)
+        proj = nn.Conv(dim, (1, 1), name="input_proj")(src)
+        query_embed = self.param(
+            "query_embed", nn.initializers.normal(1.0),
+            (m.NUM_QUERIES, dim),
+        )
+        hs, _ = Transformer(
+            dim=dim,
+            num_heads=m.TRANSFORMER.NUM_HEADS,
+            num_encoder_layers=m.TRANSFORMER.NUM_ENCODERS,
+            num_decoder_layers=m.TRANSFORMER.NUM_DECODERS,
+            dim_ffn=m.TRANSFORMER.DIM_FFN,
+            dropout=m.TRANSFORMER.DROPOUT,
+            normalize_before=m.TRANSFORMER.PRE_NORM,
+            return_intermediate_dec=True,
+            train=self.train,
+            name="transformer",
+        )(proj, feat_mask, query_embed, pos)
+
+        num_classes = cfg.DATA.NUM_CLASSES
+        logits = nn.Dense(num_classes + 1, name="class_embed")(hs)  # (L,B,Q,C+1)
+        coords = jax.nn.sigmoid(
+            MLP(dim, 4, 3, name="bbox_embed")(hs)
+        )  # (L, B, Q, 4) normalized xcycwh
+        return logits, coords
+
+
+@registers.models.register()
+class DETR(BaseNet):
+    def make_module(self, train: bool) -> DETRModule:
+        return DETRModule(cfg=self.cfg, train=train)
+
+    def init_variables(self, rng, image_size=(512, 512), batch_size: int = 1):
+        module = self.make_module(train=False)
+        dummy = jnp.zeros((batch_size, *image_size, 3), jnp.float32)
+        mask = jnp.ones((batch_size, *image_size), jnp.float32)
+        return module.init(rng, dummy, mask)
+
+    def _prepare(self, batch, train):
+        inputs = self.pre_process(batch, train=train)
+        if "mask" in batch:
+            inputs["mask"] = jnp.asarray(batch["mask"])
+        else:
+            # valid-region mask from im_info (1 = valid pixel)
+            B, H, W = (
+                inputs["image"].shape[0],
+                inputs["image"].shape[1],
+                inputs["image"].shape[2],
+            )
+            info = inputs["img_info"]
+            ys = jnp.arange(H)[None, :, None]
+            xs = jnp.arange(W)[None, None, :]
+            inputs["mask"] = (
+                (ys < info[:, 0][:, None, None])
+                & (xs < info[:, 1][:, None, None])
+            ).astype(jnp.float32)
+        return inputs
+
+    # -- matching + losses -------------------------------------------------------
+    def _match_single(self, probs, boxes, tgt_boxes, tgt_cls, tgt_valid):
+        """probs (Q, C+1) softmax; boxes (Q, 4) xcycwh; targets padded (K, ...).
+        Returns owner (K,) query index per target."""
+        m = self.cfg.MODEL.MATCHER
+        cost_class = -probs[:, tgt_cls]  # (Q, K)
+        cost_bbox = jnp.sum(
+            jnp.abs(boxes[:, None, :] - tgt_boxes[None, :, :]), axis=-1
+        )
+        giou = -(
+            iou_loss(
+                jnp.broadcast_to(boxes[:, None, :], cost_bbox.shape + (4,)),
+                jnp.broadcast_to(tgt_boxes[None, :, :], cost_bbox.shape + (4,)),
+                box_mode="xcycwh",
+                loss_type="giou",
+            ) - 1.0
+        )
+        cost = (
+            m.SET_WEIGHT_CLASS * cost_class
+            + m.SET_WEIGHT_BBOX * cost_bbox
+            + m.SET_WEIGHT_GIOU * (-giou)
+        )
+        cost = jnp.where(tgt_valid[None, :], cost, 1e6)
+        return hungarian_match_owner(cost)
+
+    def _layer_losses(self, logits, coords, tgt_boxes, tgt_cls, tgt_valid, num_boxes):
+        """Losses for one decoder layer over the batch."""
+        B, Q, _ = logits.shape
+        probs = jax.nn.softmax(logits, axis=-1)
+        owner = jax.lax.stop_gradient(
+            jax.vmap(self._match_single)(
+                probs, coords, tgt_boxes, tgt_cls, tgt_valid
+            )
+        )  # (B, K)
+
+        C = self.num_classes
+        safe_owner = jnp.where(tgt_valid & (owner >= 0), owner, Q)
+        target_classes = jnp.full((B, Q), C, jnp.int32)
+        target_classes = target_classes.at[
+            jnp.arange(B)[:, None], safe_owner
+        ].set(tgt_cls, mode="drop")
+
+        # weighted CE with eos down-weight (detr.py:146-161)
+        eos = self.cfg.LOSSES.EOS_COEF
+        weight = jnp.concatenate(
+            [jnp.ones((C,)), jnp.asarray([eos])]
+        )
+        log_probs = jax.nn.log_softmax(logits, axis=-1)
+        nll = -jnp.take_along_axis(
+            log_probs, target_classes[..., None], axis=-1
+        )[..., 0]
+        w = weight[target_classes]
+        loss_ce = jnp.sum(nll * w) / jnp.maximum(jnp.sum(w), 1e-12)
+
+        # box losses over matched pairs
+        matched_pred = jnp.take_along_axis(
+            coords, safe_owner[..., None].clip(0, Q - 1), axis=1
+        )  # (B, K, 4)
+        pair_valid = (tgt_valid & (owner >= 0)).astype(jnp.float32)
+        loss_bbox = jnp.sum(
+            jnp.abs(matched_pred - tgt_boxes) * pair_valid[..., None]
+        ) / num_boxes
+        loss_giou = jnp.sum(
+            iou_loss(matched_pred, tgt_boxes, box_mode="xcycwh",
+                     loss_type="giou") * pair_valid
+        ) / num_boxes
+        return loss_ce, loss_bbox, loss_giou
+
+    def get_losses(self, variables, batch, rng=None):
+        inputs = self._prepare(batch, train=True)
+        module = self.make_module(train=True)
+        rng = rng if rng is not None else jax.random.PRNGKey(0)
+        logits_all, coords_all = module.apply(
+            variables, inputs["image"], inputs["mask"],
+            rngs={"dropout": rng},
+        )
+
+        # targets: normalized xcycwh + class-1 with validity
+        gt = inputs["gt_boxes"]
+        info = inputs["img_info"]
+        K = gt.shape[1]
+        wh = jnp.stack([info[:, 1], info[:, 0]], axis=-1)  # (B, 2) [w, h]
+        norm = jnp.concatenate([wh, wh], axis=-1)[:, None, :]  # (B, 1, 4)
+        tgt_xyxy = gt[..., :4] / norm
+        tgt_boxes = convert_boxes(tgt_xyxy, "xyxy", "xcycwh")
+        tgt_cls = jnp.clip(gt[..., 4].astype(jnp.int32) - 1, 0, self.num_classes - 1)
+        tgt_valid = (
+            (jnp.arange(K)[None] < info[:, 4:5].astype(jnp.int32))
+            & (tgt_xyxy[..., 2] > tgt_xyxy[..., 0])
+            & (tgt_xyxy[..., 3] > tgt_xyxy[..., 1])
+        )
+        num_boxes = jnp.maximum(jnp.sum(tgt_valid).astype(jnp.float32), 1.0)
+
+        lcfg = self.cfg.LOSSES
+        coef = dict(ce=lcfg.CE_LOSS_COEF, bbox=lcfg.BBOX_LOSS_COEF,
+                    giou=lcfg.GIOU_LOSS_COEF)
+        losses: Dict[str, jnp.ndarray] = {}
+        total = 0.0
+        n_layers = logits_all.shape[0]
+        layers_used = range(n_layers) if lcfg.AUX_LOSS else [n_layers - 1]
+        for li in layers_used:
+            ce, bbox, giou = self._layer_losses(
+                logits_all[li], coords_all[li], tgt_boxes, tgt_cls,
+                tgt_valid, num_boxes,
+            )
+            total = total + coef["ce"] * ce + coef["bbox"] * bbox + coef["giou"] * giou
+            if li == n_layers - 1:
+                losses.update(loss_ce=ce, loss_bbox=bbox, loss_giou=giou)
+
+        losses["total_loss"] = total
+        return total, losses, {}
+
+    # -- eval -----------------------------------------------------------------------
+    def inference(self, variables, batch):
+        inputs = self._prepare(batch, train=False)
+        module = self.make_module(train=False)
+        logits_all, coords_all = module.apply(
+            variables, inputs["image"], inputs["mask"]
+        )
+        logits = logits_all[-1]   # (B, Q, C+1)
+        coords = coords_all[-1]   # (B, Q, 4)
+
+        prob = jax.nn.softmax(logits, axis=-1)[..., :-1]  # drop background
+        scores = jnp.max(prob, axis=-1)
+        labels = jnp.argmax(prob, axis=-1)
+
+        info = inputs["img_info"]
+        boxes = convert_boxes(coords, "xcycwh", "xyxy")
+        scale = jnp.stack(
+            [info[:, 3], info[:, 2], info[:, 3], info[:, 2]], axis=-1
+        )[:, None, :]
+        boxes = boxes * scale
+        boxes = jax.vmap(lambda b, i: clip_boxes(b, (i[2], i[3])))(boxes, info)
+        valid = scores > self.cfg.TEST.get("CLS_THRESHOLD", 0.0)
+        return {
+            "boxes": boxes,
+            "box_scores": scores,
+            "box_labels": labels,
+            "valid": valid,
+        }
