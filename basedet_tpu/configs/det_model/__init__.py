@@ -4,6 +4,7 @@ from .detr_cfg import DETRConfig
 from .faster_rcnn_cfg import FasterRCNNConfig
 from .fcos_cfg import FCOSConfig
 from .freeanchor_cfg import FreeAnchorConfig
+from .ota_cfg import OTAConfig
 from .retinanet_cfg import RetinaNetConfig
 from .yolov3_cfg import YOLOv3Config
 from .yolox_cfg import (
@@ -23,6 +24,7 @@ __all__ = [
     "FCOSConfig",
     "FasterRCNNConfig",
     "FreeAnchorConfig",
+    "OTAConfig",
     "RetinaNetConfig",
     "YOLOXConfig",
     "YOLOv3Config",

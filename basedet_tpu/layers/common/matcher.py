@@ -84,30 +84,36 @@ def sinkhorn_log(
 
 @dataclass(frozen=True)
 class SinkhornMatcher:
-    """OTA's Sinkhorn matcher (matcher.py:106-126): assign each anchor to the
-    gt (or background) with the largest transported mass."""
+    """OTA's Sinkhorn matcher (matcher.py:106-126): per-gt supply from the
+    top-20 IoU sum (dynamic-k); plan rows rescaled so each gt's max mass is
+    1 before the per-anchor argmax (matching the reference's rescale)."""
 
     eps: float = 0.1
     n_iters: int = 50
+    topk: int = 20
 
     def __call__(
         self,
         cost: jnp.ndarray,          # (K, M) fg cost
         bg_cost: jnp.ndarray,       # (M,) background cost row
         gt_valid: jnp.ndarray,      # (K,)
-        dynamic_ks: jnp.ndarray,    # (K,) per-gt supply (int)
+        ious: jnp.ndarray,          # (K, M) — drives dynamic-k supply
     ) -> Tuple[jnp.ndarray, jnp.ndarray]:
         """Returns (matched_gt (M,) int, fg_mask (M,))."""
         K, M = cost.shape
-        ks = jnp.where(gt_valid, dynamic_ks, 0).astype(jnp.float32)
+        k_cap = min(self.topk, M)
+        topk_ious, _ = jax.lax.top_k(ious, k_cap)
+        dynamic_ks = jnp.clip(jnp.sum(topk_ious, axis=1), 1.0, None)
+        ks = jnp.where(gt_valid, jnp.floor(dynamic_ks), 0.0)
         mu = jnp.concatenate([ks, jnp.asarray([M - jnp.sum(ks)])])
         nu = jnp.ones((M,), jnp.float32)
         full_cost = jnp.concatenate(
             [jnp.where(gt_valid[:, None], cost, 1e6), bg_cost[None, :]], axis=0
         )
         plan = sinkhorn_log(mu, nu, full_cost, self.eps, self.n_iters)
+        plan = plan / jnp.maximum(jnp.max(plan, axis=1, keepdims=True), 1e-12)
         assigned = jnp.argmax(plan, axis=0)  # (M,) in [0, K]
-        fg_mask = assigned < K
+        fg_mask = (assigned < K) & gt_valid[jnp.clip(assigned, 0, K - 1)]
         matched = jnp.clip(assigned, 0, K - 1)
         return matched, fg_mask
 

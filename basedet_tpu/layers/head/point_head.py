@@ -85,7 +85,7 @@ class PointHead(nn.Module):
             raw = bbox_pred(b)
             if self.decode_mode == "relu_scale":
                 offsets.append(jax.nn.relu(raw * scales[lv]) * stride)
-            else:  # exp_scale (OTA head option, point_head.py:189-205)
-                offsets.append(jnp.exp(raw * scales[lv]) * stride)
+            else:  # exp_scale (OTA head NORM_REG_TARGETS=False, point_head.py:205-209)
+                offsets.append(jnp.exp(raw * scales[lv]))
             ctrness.append(ctrness_pred(b))
         return logits, offsets, ctrness

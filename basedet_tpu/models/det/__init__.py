@@ -4,8 +4,9 @@ from .detr import DETR
 from .faster_rcnn import FasterRCNN
 from .fcos import FCOS
 from .free_anchor import FreeAnchor
+from .ota import OTA
 from .retinanet import RetinaNet
 from .yolov3 import YOLOv3
 from .yolox import YOLOX
 
-__all__ = ["ATSS", "CenterNet", "DETR", "FCOS", "FasterRCNN", "FreeAnchor", "RetinaNet", "YOLOX", "YOLOv3"]
+__all__ = ["ATSS", "CenterNet", "DETR", "FCOS", "FasterRCNN", "FreeAnchor", "OTA", "RetinaNet", "YOLOX", "YOLOv3"]
