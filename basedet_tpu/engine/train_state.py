@@ -65,6 +65,10 @@ def make_train_step(
     and averages grads with lax.pmean; if None (the default), rely on pjit
     auto-collectives with a batch-sharded input.
     """
+    from basedet_tpu.layers.precision import configure_from_cfg
+
+    configure_from_cfg(cfg)  # bf16 compute policy when TRAINER.AMP.ENABLE
+
     ema_cfg = cfg.TRAINER.EMA
     use_ema = bool(ema_cfg.get("ENABLE", False))
     momentum = ema_momentum(ema_cfg, solver.max_iters) if use_ema else 0.0

@@ -1,4 +1,15 @@
 """Flat layer namespace (reference basedet/layers/__init__.py:3-13)."""
+from .backbone.build import build_backbone_module
+from .backbone.yolo_fpn import YOLOFPN
+from .backbone.yolo_pafpn import YOLOPAFPN
+from .blocks.deformable import DeformConv, ModulatedDeformConv
+from .blocks.transformer import MLP, Transformer, sine_position_embedding
+from .blocks.yolo_block import Bottleneck, CSPLayer, DepthwiseConvBlock, Focus, SPPBottleneck
+from .head.center_head import CenterHead, CenternetDeconv
+from .head.point_head import PointHead
+from .head.rcnn import RCNNPredictor
+from .head.yolo_head import YOLOHead, YOLOXHead
+from .precision import compute_dtype, set_compute_dtype
 from .backbone.fpn import FPN
 from .common.anchor_generator import (
     AnchorPointGenerator,

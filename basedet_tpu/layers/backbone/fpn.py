@@ -16,6 +16,7 @@ import jax.numpy as jnp
 from flax import linen as nn
 
 from basedet_tpu.layers.common.blocks import get_norm, msra_normal
+from basedet_tpu.layers.precision import Conv, ConvTranspose, Dense
 
 
 def _upsample2x(x: jnp.ndarray, like: jnp.ndarray) -> jnp.ndarray:
@@ -59,7 +60,7 @@ class FPN(nn.Module):
         results: List[jnp.ndarray] = []
         prev = None
         for i, (name, feat) in enumerate(zip(names, feats)):
-            lateral = nn.Conv(
+            lateral = Conv(
                 self.out_channels, (1, 1), use_bias=use_bias,
                 kernel_init=kinit, name=f"fpn_lateral_{name}",
             )(feat)
@@ -67,7 +68,7 @@ class FPN(nn.Module):
                 lateral = norm_ctor()(lateral)
             if prev is not None:
                 if self.upsample == "deconv":
-                    td = nn.ConvTranspose(
+                    td = ConvTranspose(
                         self.out_channels, (2, 2), strides=(2, 2),
                         kernel_init=kinit, name=f"fpn_upsample_{name}",
                     )(prev)
@@ -75,7 +76,7 @@ class FPN(nn.Module):
                     td = _upsample2x(prev, lateral)
                 lateral = lateral + td
             prev = lateral
-            out = nn.Conv(
+            out = Conv(
                 self.out_channels, (3, 3), padding=1, use_bias=use_bias,
                 kernel_init=kinit, name=f"fpn_output_{name}",
             )(lateral)
@@ -100,9 +101,9 @@ class FPN(nn.Module):
                 src = bottom_up[self.top_block_in_feature]
             else:
                 src = outputs[self.top_block_in_feature]
-            p6 = nn.Conv(self.out_channels, (3, 3), (2, 2), padding=1,
+            p6 = Conv(self.out_channels, (3, 3), (2, 2), padding=1,
                          kernel_init=kinit, name="fpn_p6")(src)
-            p7 = nn.Conv(self.out_channels, (3, 3), (2, 2), padding=1,
+            p7 = Conv(self.out_channels, (3, 3), (2, 2), padding=1,
                          kernel_init=kinit, name="fpn_p7")(jax.nn.relu(p6))
             outputs[f"p{last_stage + 1}"] = p6
             outputs[f"p{last_stage + 2}"] = p7

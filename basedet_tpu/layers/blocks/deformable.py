@@ -14,6 +14,7 @@ from typing import Tuple
 import jax
 import jax.numpy as jnp
 from flax import linen as nn
+from basedet_tpu.layers.precision import Conv, ConvTranspose, Dense
 
 
 def _bilinear_sample(img: jnp.ndarray, y: jnp.ndarray, x: jnp.ndarray) -> jnp.ndarray:
@@ -55,7 +56,7 @@ class ModulatedDeformConv(nn.Module):
         K = 9
         n_off = 2 * K + (K if self.modulated else 0)
         # offset/mask branch initialized to zero (standard DCN init)
-        off = nn.Conv(
+        off = Conv(
             n_off, (3, 3), padding=1,
             kernel_init=nn.initializers.zeros_init(),
             bias_init=nn.initializers.zeros_init(),
@@ -84,7 +85,7 @@ class ModulatedDeformConv(nn.Module):
         )(x, ys, xs)  # (B, H, W, K, C)
         sampled = sampled * mask[..., None]
         sampled = sampled.reshape(B, H, W, K * C)
-        return nn.Dense(
+        return Dense(
             self.out_channels,
             kernel_init=nn.initializers.he_normal(),
             name="weight",

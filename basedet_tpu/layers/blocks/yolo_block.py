@@ -13,6 +13,7 @@ import jax.numpy as jnp
 from flax import linen as nn
 
 from basedet_tpu.layers.common.blocks import get_activation, get_norm
+from basedet_tpu.layers.precision import Conv, ConvTranspose, Dense
 
 
 class _ConvBNAct(nn.Module):
@@ -28,7 +29,7 @@ class _ConvBNAct(nn.Module):
     @nn.compact
     def __call__(self, x):
         pad = (self.ksize - 1) // 2
-        x = nn.Conv(
+        x = Conv(
             self.out_channels, (self.ksize, self.ksize),
             (self.stride, self.stride), padding=pad,
             feature_group_count=self.groups, use_bias=False, name="conv",

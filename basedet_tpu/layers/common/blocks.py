@@ -15,6 +15,7 @@ from typing import Any, Callable, Optional, Sequence, Union
 import jax
 import jax.numpy as jnp
 from flax import linen as nn
+from basedet_tpu.layers.precision import Conv, ConvTranspose, Dense
 
 ModuleDef = Any
 
@@ -59,6 +60,8 @@ def get_norm(
     ``momentum`` allow per-model BN hyperparams (YOLOX uses 1e-3 / 0.97,
     reference yolox.py:35-36).
     """
+    from basedet_tpu.layers.precision import compute_dtype
+
     if name is None or name == "":
         return None
     if name in ("BN", "SyncBN"):
@@ -67,11 +70,14 @@ def get_norm(
             momentum=momentum,
             epsilon=eps,
             axis_name=axis_name if name == "SyncBN" else None,
+            dtype=compute_dtype(),  # stats & params stay fp32
         )
     if name == "FrozenBN":
         return lambda: FrozenBatchNorm()
     if name == "GN":
-        return lambda: nn.GroupNorm(num_groups=32, epsilon=1e-5)
+        return lambda: nn.GroupNorm(
+            num_groups=32, epsilon=1e-5, dtype=compute_dtype()
+        )
     raise ValueError(f"unknown norm {name!r}")
 
 
@@ -136,7 +142,7 @@ class ConvBnAct(nn.Module):
         else:
             padding = self.padding
         use_bias = self.bias and self.norm is None
-        x = nn.Conv(
+        x = Conv(
             features=self.out_channels,
             kernel_size=k,
             strides=(self.stride, self.stride),

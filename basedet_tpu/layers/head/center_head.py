@@ -16,6 +16,7 @@ from flax import linen as nn
 
 from basedet_tpu.layers.blocks.deformable import DeformConv, ModulatedDeformConv
 from basedet_tpu.layers.common.blocks import get_norm
+from basedet_tpu.layers.precision import Conv, ConvTranspose, Dense
 
 
 def _bilinear_upsample_kernel(k: int, channels: int) -> np.ndarray:
@@ -46,7 +47,7 @@ class DeconvLayer(nn.Module):
         x = get_norm("BN", self.train)()(x)
         x = jax.nn.relu(x)
         k = self.deconv_kernel
-        x = nn.ConvTranspose(
+        x = ConvTranspose(
             self.out_channels, (k, k), strides=(2, 2),
             padding=((1, 1), (1, 1)), use_bias=False,
             kernel_init=lambda rng, shape, dtype=jnp.float32: jnp.asarray(
@@ -81,9 +82,9 @@ class SingleHead(nn.Module):
     def __call__(self, x):
         c = x.shape[-1]
         x = jax.nn.relu(
-            nn.Conv(c, (3, 3), padding=1, name="feat_conv")(x)
+            Conv(c, (3, 3), padding=1, name="feat_conv")(x)
         )
-        return nn.Conv(
+        return Conv(
             self.out_channels, (1, 1),
             bias_init=nn.initializers.constant(self.bias_value),
             name="out_conv",

@@ -14,6 +14,7 @@ from typing import List, Sequence, Tuple
 import jax
 import jax.numpy as jnp
 from flax import linen as nn
+from basedet_tpu.layers.precision import Conv, ConvTranspose, Dense
 
 
 class PointHead(nn.Module):
@@ -35,11 +36,11 @@ class PointHead(nn.Module):
         C = features[0].shape[-1]
 
         cls_convs = [
-            nn.Conv(C, (3, 3), padding=1, kernel_init=winit, name=f"cls_subnet_{i}")
+            Conv(C, (3, 3), padding=1, kernel_init=winit, name=f"cls_subnet_{i}")
             for i in range(self.num_convs)
         ]
         bbox_convs = [
-            nn.Conv(C, (3, 3), padding=1, kernel_init=winit, name=f"bbox_subnet_{i}")
+            Conv(C, (3, 3), padding=1, kernel_init=winit, name=f"bbox_subnet_{i}")
             for i in range(self.num_convs)
         ]
         cls_norms = [
@@ -50,16 +51,16 @@ class PointHead(nn.Module):
             nn.GroupNorm(32, name=f"bbox_gn_{i}") if self.with_norm else None
             for i in range(self.num_convs)
         ]
-        cls_score = nn.Conv(
+        cls_score = Conv(
             self.num_anchors * self.num_classes, (3, 3), padding=1,
             kernel_init=winit, bias_init=nn.initializers.constant(bias_value),
             name="cls_score",
         )
-        bbox_pred = nn.Conv(
+        bbox_pred = Conv(
             self.num_anchors * 4, (3, 3), padding=1, kernel_init=winit,
             name="bbox_pred",
         )
-        ctrness_pred = nn.Conv(
+        ctrness_pred = Conv(
             self.num_anchors, (3, 3), padding=1, kernel_init=winit,
             name="ctrness",
         )

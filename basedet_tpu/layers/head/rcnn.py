@@ -18,6 +18,7 @@ from flax import linen as nn
 from basedet_tpu.layers.common.sampling import sample_mask
 from basedet_tpu.layers.losses import smooth_l1_loss
 from basedet_tpu.structures import BoxCoder, box_iou
+from basedet_tpu.layers.precision import Conv, ConvTranspose, Dense
 
 
 class RCNNPredictor(nn.Module):
@@ -31,16 +32,16 @@ class RCNNPredictor(nn.Module):
         """pooled: (R, ph, pw, C) → (logits (R, C+1), deltas (R, C, 4))."""
         x = pooled.reshape(pooled.shape[0], -1)
         x = jax.nn.relu(
-            nn.Dense(1024, kernel_init=nn.initializers.normal(0.01), name="fc1")(x)
+            Dense(1024, kernel_init=nn.initializers.normal(0.01), name="fc1")(x)
         )
         x = jax.nn.relu(
-            nn.Dense(1024, kernel_init=nn.initializers.normal(0.01), name="fc2")(x)
+            Dense(1024, kernel_init=nn.initializers.normal(0.01), name="fc2")(x)
         )
-        logits = nn.Dense(
+        logits = Dense(
             self.num_classes + 1, kernel_init=nn.initializers.normal(0.01),
             name="pred_cls",
         )(x)
-        deltas = nn.Dense(
+        deltas = Dense(
             self.num_classes * 4, kernel_init=nn.initializers.normal(0.001),
             name="pred_delta",
         )(x)
@@ -111,6 +112,8 @@ def rcnn_losses(
 ):
     num = jnp.maximum(jnp.sum(weight), 1.0)
     safe_labels = jnp.maximum(labels, 0)
+    logits = logits.astype(jnp.float32)
+    deltas = deltas.astype(jnp.float32)
     log_probs = jax.nn.log_softmax(logits, axis=-1)
     nll = -jnp.take_along_axis(log_probs, safe_labels[:, None], axis=1)[:, 0]
     cls_loss = jnp.sum(nll * weight) / num

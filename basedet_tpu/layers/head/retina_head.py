@@ -12,6 +12,7 @@ from typing import List, Sequence, Tuple
 import jax
 import jax.numpy as jnp
 from flax import linen as nn
+from basedet_tpu.layers.precision import Conv, ConvTranspose, Dense
 
 
 class RetinaNetHead(nn.Module):
@@ -33,7 +34,7 @@ class RetinaNetHead(nn.Module):
 
         def subnets(suffix: str):
             convs = [
-                nn.Conv(features[0].shape[-1], (3, 3), padding=1,
+                Conv(features[0].shape[-1], (3, 3), padding=1,
                         kernel_init=winit, name=f"{suffix}_subnet_{i}")
                 for i in range(self.num_convs)
             ]
@@ -42,13 +43,13 @@ class RetinaNetHead(nn.Module):
         if self.share_param:
             cls_convs = subnets("cls")
             bbox_convs = subnets("bbox")
-            cls_score = nn.Conv(
+            cls_score = Conv(
                 self.num_anchors * self.num_classes, (3, 3), padding=1,
                 kernel_init=winit,
                 bias_init=nn.initializers.constant(bias_value),
                 name="cls_score",
             )
-            bbox_pred = nn.Conv(
+            bbox_pred = Conv(
                 self.num_anchors * 4, (3, 3), padding=1,
                 kernel_init=winit, name="bbox_pred",
             )
@@ -58,17 +59,17 @@ class RetinaNetHead(nn.Module):
             for lv in range(len(features)):
                 per_level.append(
                     (
-                        [nn.Conv(features[0].shape[-1], (3, 3), padding=1,
+                        [Conv(features[0].shape[-1], (3, 3), padding=1,
                                  kernel_init=winit, name=f"cls_subnet_l{lv}_{i}")
                          for i in range(self.num_convs)],
-                        [nn.Conv(features[0].shape[-1], (3, 3), padding=1,
+                        [Conv(features[0].shape[-1], (3, 3), padding=1,
                                  kernel_init=winit, name=f"bbox_subnet_l{lv}_{i}")
                          for i in range(self.num_convs)],
-                        nn.Conv(self.num_anchors * self.num_classes, (3, 3),
+                        Conv(self.num_anchors * self.num_classes, (3, 3),
                                 padding=1, kernel_init=winit,
                                 bias_init=nn.initializers.constant(bias_value),
                                 name=f"cls_score_l{lv}"),
-                        nn.Conv(self.num_anchors * 4, (3, 3), padding=1,
+                        Conv(self.num_anchors * 4, (3, 3), padding=1,
                                 kernel_init=winit, name=f"bbox_pred_l{lv}"),
                     )
                 )

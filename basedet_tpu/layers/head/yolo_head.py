@@ -13,6 +13,7 @@ import jax.numpy as jnp
 from flax import linen as nn
 
 from basedet_tpu.layers.blocks.yolo_block import _ConvBNAct, make_conv
+from basedet_tpu.layers.precision import Conv as PConv
 
 
 class YOLOXHead(nn.Module):
@@ -25,7 +26,7 @@ class YOLOXHead(nn.Module):
 
     @nn.compact
     def __call__(self, features: List[jnp.ndarray]):
-        Conv = make_conv(self.depthwise)
+        BlockConv = make_conv(self.depthwise)
         bias_value = -math.log((1 - self.prior_prob) / self.prior_prob)
         bias_init = nn.initializers.constant(bias_value)
         kw = dict(act=self.act, train=self.train)
@@ -36,20 +37,20 @@ class YOLOXHead(nn.Module):
                            name=f"stem_{lv}")(x)
             c = x
             for i in range(2):
-                c = Conv(self.mid_channels, 3, 1, **kw,
-                         name=f"cls_conv_{lv}_{i}")(c)
+                c = BlockConv(self.mid_channels, 3, 1, **kw,
+                              name=f"cls_conv_{lv}_{i}")(c)
             r = x
             for i in range(2):
-                r = Conv(self.mid_channels, 3, 1, **kw,
-                         name=f"reg_conv_{lv}_{i}")(r)
+                r = BlockConv(self.mid_channels, 3, 1, **kw,
+                              name=f"reg_conv_{lv}_{i}")(r)
             logits.append(
-                nn.Conv(self.num_classes, (1, 1), bias_init=bias_init,
-                        name=f"cls_pred_{lv}")(c)
+                PConv(self.num_classes, (1, 1), bias_init=bias_init,
+                      name=f"cls_pred_{lv}")(c)
             )
-            offsets.append(nn.Conv(4, (1, 1), name=f"reg_pred_{lv}")(r))
+            offsets.append(PConv(4, (1, 1), name=f"reg_pred_{lv}")(r))
             objs.append(
-                nn.Conv(1, (1, 1), bias_init=bias_init,
-                        name=f"obj_pred_{lv}")(r)
+                PConv(1, (1, 1), bias_init=bias_init,
+                      name=f"obj_pred_{lv}")(r)
             )
         return logits, offsets, objs
 
@@ -71,7 +72,7 @@ class YOLOHead(nn.Module):
             x = _ConvBNAct(c * 2, 3, 1, act=self.act, train=self.train,
                            name=f"conv_{lv}")(x)
             preds.append(
-                nn.Conv(
+                PConv(
                     self.num_anchors * (5 + self.num_classes), (1, 1),
                     name=f"pred_{lv}",
                 )(x)

@@ -16,6 +16,7 @@ import jax.numpy as jnp
 from flax import linen as nn
 
 from basedet_tpu.layers.common.blocks import get_norm
+from basedet_tpu.layers.precision import Conv, ConvTranspose, Dense
 
 _STAGE_SPECS: Dict[str, Tuple[str, Sequence[int]]] = {
     "resnet18": ("basic", (2, 2, 2, 2)),
@@ -52,14 +53,14 @@ class BasicBlock(nn.Module):
     def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
         norm = get_norm(self.norm, self.train)
         identity = x
-        y = nn.Conv(self.channels, (3, 3), (self.stride,) * 2, padding=1,
+        y = Conv(self.channels, (3, 3), (self.stride,) * 2, padding=1,
                     use_bias=False, name="conv1")(x)
         y = norm()(y)
         y = jax.nn.relu(y)
-        y = nn.Conv(self.channels, (3, 3), padding=1, use_bias=False, name="conv2")(y)
+        y = Conv(self.channels, (3, 3), padding=1, use_bias=False, name="conv2")(y)
         y = norm()(y)
         if x.shape[-1] != self.channels or self.stride != 1:
-            identity = nn.Conv(self.channels, (1, 1), (self.stride,) * 2,
+            identity = Conv(self.channels, (1, 1), (self.stride,) * 2,
                                use_bias=False, name="downsample_conv")(x)
             identity = norm()(identity)
         return jax.nn.relu(y + identity)
@@ -76,17 +77,17 @@ class Bottleneck(nn.Module):
         norm = get_norm(self.norm, self.train)
         out_c = self.channels * 4
         identity = x
-        y = nn.Conv(self.channels, (1, 1), use_bias=False, name="conv1")(x)
+        y = Conv(self.channels, (1, 1), use_bias=False, name="conv1")(x)
         y = norm()(y)
         y = jax.nn.relu(y)
-        y = nn.Conv(self.channels, (3, 3), (self.stride,) * 2, padding=1,
+        y = Conv(self.channels, (3, 3), (self.stride,) * 2, padding=1,
                     use_bias=False, name="conv2")(y)
         y = norm()(y)
         y = jax.nn.relu(y)
-        y = nn.Conv(out_c, (1, 1), use_bias=False, name="conv3")(y)
+        y = Conv(out_c, (1, 1), use_bias=False, name="conv3")(y)
         y = norm()(y)
         if x.shape[-1] != out_c or self.stride != 1:
-            identity = nn.Conv(out_c, (1, 1), (self.stride,) * 2,
+            identity = Conv(out_c, (1, 1), (self.stride,) * 2,
                                use_bias=False, name="downsample_conv")(x)
             identity = norm()(identity)
         return jax.nn.relu(y + identity)
@@ -117,7 +118,7 @@ class ResNet(nn.Module):
         norm = get_norm(self.norm, self.train)
 
         # stem: 7x7/2 conv + 3x3/2 maxpool
-        y = nn.Conv(64, (7, 7), (2, 2), padding=3, use_bias=False, name="conv1")(x)
+        y = Conv(64, (7, 7), (2, 2), padding=3, use_bias=False, name="conv1")(x)
         y = norm()(y)
         y = jax.nn.relu(y)
         y = nn.max_pool(y, (3, 3), strides=(2, 2), padding=((1, 1), (1, 1)))

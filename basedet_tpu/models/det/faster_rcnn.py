@@ -187,6 +187,8 @@ class FasterRCNNModule(nn.Module):
                 tuple(m.ROI_POOLER.SIZE),
             )
             logits, deltas = predictor(pooled)
+            logits = logits.astype(jnp.float32)
+            deltas = deltas.astype(jnp.float32)
             scores = jax.nn.softmax(logits, axis=-1)[:, 1:]  # (B*P, C)
             boxes = rcnn_coder.decode(
                 flat_rois[:, None, 1:5], deltas

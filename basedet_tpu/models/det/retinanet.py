@@ -87,9 +87,12 @@ class RetinaNetModule(nn.Module):
 
 def _flatten_level(x: jnp.ndarray, k: int) -> jnp.ndarray:
     """(N, H, W, A*k) -> (N, H*W*A, k) matching anchor grid-major order
-    (reference permute_to_N_Any_K, layers/common/function.py)."""
+    (reference permute_to_N_Any_K, layers/common/function.py).
+
+    Also the fp32 choke point under the bf16 compute policy: loss math and
+    box decoding downstream always run in fp32."""
     n, h, w, _ = x.shape
-    return x.reshape(n, h * w * (x.shape[-1] // k), k)
+    return x.reshape(n, h * w * (x.shape[-1] // k), k).astype(jnp.float32)
 
 
 @registers.models.register()

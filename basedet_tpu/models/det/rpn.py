@@ -22,6 +22,7 @@ from basedet_tpu.layers.losses import binary_cross_entropy, smooth_l1_loss
 from basedet_tpu.ops.nms import NEG_INF, batched_nms_padded
 from basedet_tpu.structures import BoxCoder, box_iou
 from basedet_tpu.structures.box_ops import clip_boxes, nonempty_mask
+from basedet_tpu.layers.precision import Conv, ConvTranspose, Dense
 
 
 class RPNHead(nn.Module):
@@ -33,11 +34,11 @@ class RPNHead(nn.Module):
     @nn.compact
     def __call__(self, features: Sequence[jnp.ndarray]):
         winit = nn.initializers.normal(0.01)
-        conv = nn.Conv(self.channels, (3, 3), padding=1, kernel_init=winit,
+        conv = Conv(self.channels, (3, 3), padding=1, kernel_init=winit,
                        name="rpn_conv")
-        cls_score = nn.Conv(self.num_cell_anchors, (1, 1), kernel_init=winit,
+        cls_score = Conv(self.num_cell_anchors, (1, 1), kernel_init=winit,
                             name="rpn_cls_score")
-        bbox_pred = nn.Conv(self.num_cell_anchors * 4, (1, 1),
+        bbox_pred = Conv(self.num_cell_anchors * 4, (1, 1),
                             kernel_init=winit, name="rpn_bbox_offsets")
         logits, offsets = [], []
         for f in features:

@@ -105,6 +105,12 @@ def _build_schedule(cfg, base_lr, world_size):
     per_epoch = _iters_per_epoch(cfg, world_size)
     name = s.get("LR_SCHEDULER_NAME", "MultiStepLR")
     total = s.MAX_EPOCH * per_epoch
+    # WARM_ITERS may be given directly or derived from WARM_EPOCH
+    warm = s.get("WARM_ITERS", 0)
+    if warm is None:
+        warm = int(s.get("WARM_EPOCH", 0) * per_epoch)
+    s = s.clone()
+    s.WARM_ITERS = warm
     if name == "MultiStepLR":
         return multistep_lr(
             base_lr,

@@ -1,19 +1,16 @@
 """Benchmark harness — prints ONE JSON line for the driver.
 
-Metric: training images/sec/chip at 640x640 on the flagship detector
-(capability analogue of reference tools/benchmark.py:114-272, with
-block_until_ready fences replacing mge._full_sync()).
+Primary metric: YOLOX-S training images/sec/chip at 640x640 (bf16 compute)
+on synthetic batches — the BASELINE.json north-star config. The reference
+publishes no GPU throughput numbers (BASELINE.md), so ``vs_baseline`` is
+null; the absolute number is tracked round-over-round in BENCH_r{N}.json.
 
-The reference publishes no throughput numbers (BASELINE.md), so
-``vs_baseline`` is reported against the driver's YOLOX-s north-star target
-once YOLOX lands; until then it is null.
+(Full multi-model sweep: python -m basedet_tpu.tools.benchmark)
 """
 from __future__ import annotations
 
 import json
 import time
-
-import numpy as np
 
 
 def main():
@@ -22,31 +19,29 @@ def main():
     from basedet_tpu.engine.train_state import TrainState, make_train_step
     from basedet_tpu.parallel import make_mesh, replicate_state, shard_batch
     from basedet_tpu.utils.dummy import DummyLoader
-    from basedet_tpu.configs import RetinaNetConfig
+    from basedet_tpu.configs import YOLOXSConfig
 
     IMG = 640
-    BATCH = 8
+    BATCH = 16
     WARMUP = 5
-    ITERS = 20
+    ITERS = 30
 
-    cfg = RetinaNetConfig()
+    cfg = YOLOXSConfig()
     cfg.MODEL.BATCHSIZE = BATCH
-    cfg.DATA.MAX_INSTANCES = 32
-    cfg.SOLVER.NUM_IMAGE_PER_EPOCH = 80000
+    cfg.DATA.MAX_INSTANCES = 50
+    cfg.TRAINER.AMP.ENABLE = True
     cfg.TRAINER.EMA.ENABLE = True
 
-    n_dev = 1  # single-chip benchmark
-    mesh = make_mesh((("data", n_dev),), devices=jax.devices()[:n_dev])
+    mesh = make_mesh((("data", 1),), devices=jax.devices()[:1])
 
     model = cfg.build_model()
     solver = cfg.build_solver()
-    variables = model.init_variables(jax.random.PRNGKey(0), image_size=(IMG, IMG))
-    state = replicate_state(
-        TrainState.create(variables, solver, ema=True), mesh
-    )
+    # build step first: it configures the bf16 policy before module init
     step_fn = jax.jit(make_train_step(model, solver, cfg), donate_argnums=(0,))
+    variables = model.init_variables(jax.random.PRNGKey(0), image_size=(IMG, IMG))
+    state = replicate_state(TrainState.create(variables, solver, ema=True), mesh)
 
-    loader = DummyLoader(batch_size=BATCH, image_size=(IMG, IMG), max_instances=32)
+    loader = DummyLoader(batch_size=BATCH, image_size=(IMG, IMG), max_instances=50)
     batches = [shard_batch(loader.make_batch(i), mesh) for i in range(4)]
 
     for i in range(WARMUP):
@@ -63,7 +58,7 @@ def main():
     print(
         json.dumps(
             {
-                "metric": f"retinanet_r50_train_images_per_sec_per_chip_{IMG}",
+                "metric": f"yolox_s_train_images_per_sec_per_chip_{IMG}_bf16",
                 "value": round(ips, 2),
                 "unit": "img/s",
                 "vs_baseline": None,

