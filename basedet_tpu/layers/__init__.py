@@ -20,7 +20,7 @@ from .common.blocks import ConvBnAct, FrozenBatchNorm, get_activation, get_norm
 from .common.matcher import (
     Matcher,
     SinkhornMatcher,
-    hungarian_match_auction,
+    hungarian_match_owner,
     sinkhorn_log,
     topk_dynamic_k_matching,
 )
@@ -52,7 +52,7 @@ __all__ = [
     "get_multiple_size",
     "get_norm",
     "get_padded_tensor",
-    "hungarian_match_auction",
+    "hungarian_match_owner",
     "iou_loss",
     "pairwise_iou_ltrb",
     "post_processing",

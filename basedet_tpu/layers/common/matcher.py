@@ -154,86 +154,62 @@ def topk_dynamic_k_matching(
     return best_gt.astype(jnp.int32), fg_mask
 
 
-def hungarian_match_auction(
-    cost: jnp.ndarray, n_iters: int = 200, eps_scale: float = 1e-3
+def hungarian_match_owner(
+    cost: jnp.ndarray, n_iters: int = 300, eps_scale: float = 1e-4
 ) -> jnp.ndarray:
-    """On-device assignment for DETR via auction-style bidding.
+    """On-device ASYMMETRIC auction assignment (DETR's Hungarian matching).
 
-    Analogue of HungarianMatcher (matcher.py:54-103, scipy
-    linear_sum_assignment) re-designed for TPU: a fixed-iteration auction
-    algorithm over the (Q, K) query→target cost matrix. With eps small
-    relative to cost gaps this converges to the optimal assignment; DETR's
-    training is robust to eps-suboptimal matches.
+    Analogue of HungarianMatcher's scipy ``linear_sum_assignment`` host call
+    (matcher.py:54-103), re-designed for TPU as a fixed-iteration auction.
+    Since targets (K) ≤ queries (Q), the TARGETS are the bidders: each
+    unassigned target bids for its best query (net of prices); highest
+    bidder wins, evicting the previous owner. This converges: once every
+    target holds a distinct query, bidding stops. eps-complementary
+    slackness bounds suboptimality by K·eps.
 
-    cost: (Q, K) — Q queries, K (padded) targets; invalid targets should
-    carry +large cost. Returns (Q,) int32: target index per query (may
-    contain duplicates only for invalid/unassigned queries — callers mask by
-    target validity).
+    cost: (Q, K); invalid (padded) targets should carry +large cost.
+    Returns (K,) int32: query index owned by each target (-1 if unassigned,
+    which does not occur once iterations suffice).
     """
     Q, K = cost.shape
+    # scale eps to the cost range; suboptimality ≤ K · eps
     eps = eps_scale * (jnp.max(cost) - jnp.min(cost) + 1e-6)
+    value_qk = -cost.T  # (K, Q) benefit of query q for target k
 
     def body(_, state):
-        prices, owner = state  # prices (K,), owner (K,) int32 query owning item
-        value = -cost - prices[None, :]          # (Q, K) net benefit
-        best = jnp.argmax(value, axis=1)         # (Q,) each query's favourite
-        top2 = jax.lax.top_k(value, 2)[0]        # (Q, 2)
-        bid = top2[:, 0] - top2[:, 1] + eps      # bid increments
-        # each item keeps the highest bidder among queries bidding on it
-        bids = jnp.zeros((Q, K)).at[jnp.arange(Q), best].set(bid)
-        high_bid = jnp.max(bids, axis=0)
-        high_bidder = jnp.argmax(bids, axis=0)
-        won = high_bid > 0
-        prices = jnp.where(won, prices + high_bid, prices)
-        owner = jnp.where(won, high_bidder, owner)
-        return prices, owner
+        prices, q_of_k, k_of_q = state
+        # unassigned targets bid
+        unassigned = q_of_k < 0  # (K,)
+        net = value_qk - prices[None, :]  # (K, Q)
+        top2, top2_idx = jax.lax.top_k(net, 2)
+        best_q = top2_idx[:, 0]
+        bid = jnp.where(unassigned, top2[:, 0] - top2[:, 1] + eps, 0.0)
+        bids = jnp.zeros((K, Q)).at[jnp.arange(K), best_q].set(bid)
+        win_bid = jnp.max(bids, axis=0)   # (Q,)
+        winner = jnp.argmax(bids, axis=0)
+        won = win_bid > 0
 
-    prices = jnp.zeros((K,))
-    owner = jnp.full((K,), -1, jnp.int32)
-    prices, owner = jax.lax.fori_loop(0, n_iters, body, (prices, owner))
+        # evict previous owners of won queries
+        prev = jnp.where(won, k_of_q, -1)  # (Q,) item to evict or -1
+        q_of_k = q_of_k.at[jnp.where(prev >= 0, prev, K)].set(-1, mode="drop")
+        # assign winners
+        q_idx = jnp.arange(Q, dtype=jnp.int32)
+        q_of_k = q_of_k.at[jnp.where(won, winner, K)].set(
+            q_idx, mode="drop"
+        )
+        k_of_q = jnp.where(won, winner, k_of_q)
+        # clear stale k_of_q entries whose item moved elsewhere
+        stale = (k_of_q >= 0) & (
+            q_of_k[jnp.clip(k_of_q, 0, K - 1)] != q_idx
+        )
+        k_of_q = jnp.where(stale, -1, k_of_q)
+        prices = jnp.where(won, prices + win_bid, prices)
+        return prices, q_of_k, k_of_q
 
-    # invert owner (K,)->query to query->item; unassigned queries get argmin cost
-    assign = jnp.full((Q,), -1, jnp.int32)
-    valid_owner = owner >= 0
-    assign = assign.at[jnp.where(valid_owner, owner, Q)].set(
-        jnp.arange(K, dtype=jnp.int32), mode="drop"
+    prices = jnp.zeros((Q,))
+    q_of_k = jnp.full((K,), -1, jnp.int32)
+    k_of_q = jnp.full((Q,), -1, jnp.int32)
+    _, q_of_k, _ = jax.lax.fori_loop(
+        0, n_iters, body, (prices, q_of_k, k_of_q)
     )
-    fallback = jnp.argmin(cost, axis=1).astype(jnp.int32)
-    return jnp.where(assign >= 0, assign, fallback)
-
-
-def hungarian_match_owner(
-    cost: jnp.ndarray, n_iters: int = 200, eps_scale: float = 1e-3
-) -> jnp.ndarray:
-    """Auction assignment returning the TARGET→QUERY direction DETR needs:
-    for each of K (padded) targets, the index of the query that won it
-    (-1 if unassigned after n_iters — rare when Q ≥ K). Invalid targets
-    should carry +large cost; their owners are ignored by the caller's
-    validity mask."""
-    Q, K = cost.shape
-    eps = eps_scale * (jnp.max(cost) - jnp.min(cost) + 1e-6)
-
-    def body(_, state):
-        prices, owner = state
-        value = -cost - prices[None, :]
-        # queries currently owning an item don't bid again
-        owned_by = jnp.full((Q,), False).at[
-            jnp.where(owner >= 0, owner, Q)
-        ].set(True, mode="drop")
-        best = jnp.argmax(value, axis=1)
-        top2 = jax.lax.top_k(value, 2)[0]
-        bid = jnp.where(owned_by, 0.0, top2[:, 0] - top2[:, 1] + eps)
-        bids = jnp.zeros((Q, K)).at[jnp.arange(Q), best].set(bid)
-        high_bid = jnp.max(bids, axis=0)
-        high_bidder = jnp.argmax(bids, axis=0)
-        won = high_bid > 0
-        # the previous owner of a re-won item becomes free automatically
-        # (it will bid again next round since owned_by recomputes)
-        prices = jnp.where(won, prices + high_bid, prices)
-        owner = jnp.where(won, high_bidder, owner)
-        return prices, owner
-
-    prices = jnp.zeros((K,))
-    owner = jnp.full((K,), -1, jnp.int32)
-    _, owner = jax.lax.fori_loop(0, n_iters, body, (prices, owner))
-    return owner
+    return q_of_k

@@ -76,13 +76,13 @@ class TrainBenchmark:
         t_compile = time.perf_counter()
         for i in range(self.warmup):
             state, metrics = step_fn(state, batches[i % 4])
-        jax.block_until_ready(metrics["total_loss"])
+        float(metrics["total_loss"])  # scalar readback = true fence (block_until_ready is unreliable over the axon tunnel)
         compile_time = time.perf_counter() - t_compile
 
         t0 = time.perf_counter()
         for i in range(self.iters):
             state, metrics = step_fn(state, batches[i % 4])
-        jax.block_until_ready(metrics["total_loss"])
+        float(metrics["total_loss"])  # scalar readback = true fence (block_until_ready is unreliable over the axon tunnel)
         dt = time.perf_counter() - t0
         ips = self.batch * self.iters / dt
         return {
@@ -122,11 +122,11 @@ class EvalBenchmark:
         batch = loader.make_batch()
         for _ in range(self.warmup):
             dets = infer(variables, batch)
-        jax.block_until_ready(dets["boxes"])
+        float(dets["box_scores"][0, 0])  # scalar readback fence
         t0 = time.perf_counter()
         for _ in range(self.iters):
             dets = infer(variables, batch)
-        jax.block_until_ready(dets["boxes"])
+        float(dets["box_scores"][0, 0])  # scalar readback fence
         dt = time.perf_counter() - t0
         return {
             "model": self.model_name,

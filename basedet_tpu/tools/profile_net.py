@@ -33,13 +33,13 @@ def profile_training(cfg, trace_dir: str, n_iters: int = 5):
     batch = shard_batch(loader.make_batch(), mesh)
     # warmup/compile outside the trace
     state, metrics = step_fn(state, batch)
-    jax.block_until_ready(metrics["total_loss"])
+    float(metrics["total_loss"])  # scalar readback = true fence (block_until_ready is unreliable over the axon tunnel)
 
     os.makedirs(trace_dir, exist_ok=True)
     with jax.profiler.trace(trace_dir):
         for _ in range(n_iters):
             state, metrics = step_fn(state, batch)
-        jax.block_until_ready(metrics["total_loss"])
+        float(metrics["total_loss"])  # scalar readback = true fence (block_until_ready is unreliable over the axon tunnel)
     logger.info(f"wrote profiler trace to {trace_dir} (open with xprof/TensorBoard)")
 
 

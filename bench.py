@@ -46,12 +46,12 @@ def main():
 
     for i in range(WARMUP):
         state, metrics = step_fn(state, batches[i % len(batches)])
-    jax.block_until_ready(metrics["total_loss"])
+    float(metrics["total_loss"])  # scalar readback = true fence (block_until_ready is unreliable over the axon tunnel)
 
     t0 = time.perf_counter()
     for i in range(ITERS):
         state, metrics = step_fn(state, batches[i % len(batches)])
-    jax.block_until_ready(metrics["total_loss"])
+    float(metrics["total_loss"])  # scalar readback = true fence (block_until_ready is unreliable over the axon tunnel)
     dt = time.perf_counter() - t0
 
     ips = BATCH * ITERS / dt

@@ -1,0 +1,99 @@
+"""Matcher correctness: IoU matcher semantics, dynamic-k vs naive loop,
+auction assignment vs scipy's Hungarian oracle."""
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from basedet_tpu.layers.common.matcher import (
+    Matcher,
+    hungarian_match_owner,
+    sinkhorn_log,
+    topk_dynamic_k_matching,
+)
+
+
+def test_iou_matcher_thresholds_and_low_quality():
+    m = Matcher(thresholds=(0.4, 0.5), labels=(0, -1, 1),
+                allow_low_quality_matches=True)
+    # anchors: a0 high iou w/ gt0; a1 mid; a2 low; a3 best-for-gt1 (low iou)
+    matrix = jnp.asarray(
+        [
+            [0.8, 0.45, 0.1, 0.05],
+            [0.0, 0.10, 0.2, 0.30],
+        ]
+    )
+    valid = jnp.asarray([True, True])
+    idx, labels = m(matrix, valid)
+    np.testing.assert_array_equal(labels, [1, -1, 0, 1])  # a3 low-quality→1
+    assert int(idx[0]) == 0 and int(idx[3]) == 1
+
+
+def test_iou_matcher_invalid_rows_ignored():
+    m = Matcher((0.4, 0.5), (0, -1, 1), True)
+    matrix = jnp.asarray([[0.9, 0.9], [0.95, 0.99]])
+    valid = jnp.asarray([True, False])  # row 1 is padding
+    idx, labels = m(matrix, valid)
+    np.testing.assert_array_equal(idx, [0, 0])
+    np.testing.assert_array_equal(labels, [1, 1])
+
+
+def test_dynamic_k_matching_matches_naive():
+    rng = np.random.RandomState(0)
+    K, M = 5, 40
+    cost = rng.rand(K, M).astype(np.float32)
+    ious = rng.rand(K, M).astype(np.float32) * 0.5
+    gt_valid = np.asarray([True] * 4 + [False])
+
+    matched, fg = topk_dynamic_k_matching(
+        jnp.asarray(np.where(gt_valid[:, None], cost, 1e9)),
+        jnp.asarray(np.where(gt_valid[:, None], ious, 0.0)),
+        jnp.asarray(gt_valid),
+        candidate_topk=10,
+    )
+    matched, fg = np.asarray(matched), np.asarray(fg)
+
+    # naive reference (reference dynamic_k_matching semantics)
+    ks = np.maximum(
+        np.sort(np.where(gt_valid[:, None], ious, 0.0), axis=1)[:, -10:]
+        .sum(1).astype(int), 1)
+    matching = np.zeros((K, M), bool)
+    for k in range(K):
+        if not gt_valid[k]:
+            continue
+        pos = np.argsort(cost[k])[: ks[k]]
+        matching[k, pos] = True
+    conflict = matching.sum(0) > 1
+    for mcol in np.where(conflict)[0]:
+        best = np.argmin(np.where(matching[:, mcol], cost[:, mcol], np.inf))
+        matching[:, mcol] = False
+        matching[best, mcol] = True
+    exp_fg = matching.any(0)
+    np.testing.assert_array_equal(fg, exp_fg)
+    exp_match = np.argmax(matching, axis=0)
+    np.testing.assert_array_equal(matched[exp_fg], exp_match[exp_fg])
+
+
+def test_auction_matches_scipy_hungarian():
+    from scipy.optimize import linear_sum_assignment
+
+    rng = np.random.RandomState(1)
+    for trial in range(5):
+        Q, K = 20, 7
+        cost = rng.rand(Q, K).astype(np.float32) * 10
+        owner = np.asarray(hungarian_match_owner(jnp.asarray(cost), n_iters=500))
+        rows, cols = linear_sum_assignment(cost)
+        # compare total assignment cost (auction is eps-optimal; with
+        # distinct random costs it finds the same optimum)
+        auction_cost = sum(cost[owner[k], k] for k in range(K))
+        optimal_cost = cost[rows, cols].sum()
+        assert len(set(owner.tolist())) == K, "owners must be distinct"
+        assert auction_cost <= optimal_cost + 0.05 * abs(optimal_cost) + 1e-3
+
+
+def test_sinkhorn_plan_marginals():
+    mu = jnp.asarray([2.0, 1.0, 7.0])
+    nu = jnp.ones((10,))
+    cost = jnp.asarray(np.random.RandomState(0).rand(3, 10), jnp.float32)
+    plan = sinkhorn_log(mu, nu, cost, eps=0.05, n_iters=200)
+    np.testing.assert_allclose(np.asarray(plan).sum(axis=1), mu, atol=1e-2)
+    np.testing.assert_allclose(np.asarray(plan).sum(axis=0), nu, atol=1e-2)
