@@ -123,12 +123,22 @@ class DetTrainer:
         batch = shard_batch(dict(batch), self.mesh)
         t1 = time.perf_counter()
         self.state, metrics = self._train_step(self.state, batch)
-        # async dispatch: only materialize metrics for the meters (the
-        # implicit sync fence; cadence kept small via windowed meters)
-        metrics = {k: float(np.asarray(v)) for k, v in metrics.items()}
-        t2 = time.perf_counter()
-        self.meters.update(metrics)
-        self.meters.update(data_time=t1 - t0, train_time=t2 - t1)
+        # Steps dispatch asynchronously; materializing metrics is the sync
+        # fence, so only pay it at the logging cadence (the reference paid
+        # mge._full_sync() EVERY iter, trainer.py:83 — here the device queue
+        # stays full between log points).
+        log_interval = self.cfg.GLOBAL.get("LOG_INTERVAL", 20)
+        if self.progress.current_iter % log_interval == 0:
+            metrics = {k: float(np.asarray(v)) for k, v in metrics.items()}
+            t2 = time.perf_counter()
+            last = getattr(self, "_last_fence", None)
+            self._last_fence = t2
+            if last is not None:
+                self.meters.update(
+                    train_time=(t2 - last) / log_interval
+                )
+            self.meters.update(metrics)
+        self.meters.update(data_time=t1 - t0)
 
     def _call_hooks(self, phase: str):
         for h in self.hooks:

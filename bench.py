@@ -22,9 +22,9 @@ def main():
     from basedet_tpu.configs import YOLOXSConfig
 
     IMG = 640
-    BATCH = 16
+    BATCH = 64
     WARMUP = 5
-    ITERS = 30
+    ITERS = 15
 
     cfg = YOLOXSConfig()
     cfg.MODEL.BATCHSIZE = BATCH

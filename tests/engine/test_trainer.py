@@ -22,7 +22,7 @@ def make_cfg(tmpdir):
     cfg.SOLVER.MAX_EPOCH = 2
     cfg.SOLVER.WARM_ITERS = 2
     cfg.TRAINER.EMA.ENABLE = True
-    cfg.GLOBAL.LOG_INTERVAL = 100
+    cfg.GLOBAL.LOG_INTERVAL = 2
     cfg.GLOBAL.CKPT_SAVE_DIR = str(tmpdir)
     return cfg
 
