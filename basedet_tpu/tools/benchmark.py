@@ -107,6 +107,8 @@ class EvalBenchmark:
         self.iters = iters
 
     def run(self) -> Dict:
+        import jax.numpy as jnp
+
         from basedet_tpu.utils.dummy import DummyLoader
 
         cfg = _build(self.model_name, self.image_size, self.batch)
@@ -119,7 +121,8 @@ class EvalBenchmark:
             batch_size=self.batch, image_size=(self.image_size,) * 2,
             max_instances=32,
         )
-        batch = loader.make_batch()
+        # device-resident batch: measure compute, not host→device transfer
+        batch = {k: jnp.asarray(x) for k, x in loader.make_batch().items()}
         for _ in range(self.warmup):
             dets = infer(variables, batch)
         float(dets["box_scores"][0, 0])  # scalar readback fence
