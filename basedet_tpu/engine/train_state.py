@@ -77,6 +77,8 @@ def make_train_step(
 
     base_rng = jax.random.PRNGKey(cfg.get("SEED", 42))
 
+    use_remat = bool(cfg.TRAINER.get("REMAT", False))
+
     def train_step(state: TrainState, batch, rng=None):
         step_rng = (
             rng if rng is not None else jax.random.fold_in(base_rng, state.step)
@@ -88,6 +90,11 @@ def make_train_step(
                 variables, batch, step_rng
             )
             return total, (loss_dict, new_mutable)
+
+        if use_remat:
+            # full rematerialization: recompute the forward during backward
+            # (analogue of the reference's DTR flag, det_train.py:98-100)
+            loss_fn = jax.checkpoint(loss_fn)
 
         (_, (loss_dict, new_mutable)), grads = jax.value_and_grad(
             loss_fn, has_aux=True

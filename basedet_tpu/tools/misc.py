@@ -36,6 +36,16 @@ def default_parser(description: str = "basedet_tpu") -> argparse.ArgumentParser:
     parser.add_argument("-w", "--weights", type=str, default=None,
                         help="weights file for testing")
     parser.add_argument(
+        "--debug", action="store_true",
+        help="sync debugging: disable jit + nan checks (the TPU analogue of "
+             "the reference's --sync-level/--debug-mode, det_train.py:83-109)",
+    )
+    parser.add_argument(
+        "--remat", action="store_true",
+        help="rematerialize the backbone to trade FLOPs for memory (the "
+             "analogue of the reference's --dtr flag)",
+    )
+    parser.add_argument(
         "opts", nargs=argparse.REMAINDER, default=None,
         help="config override key/value pairs",
     )
@@ -44,6 +54,13 @@ def default_parser(description: str = "basedet_tpu") -> argparse.ArgumentParser:
 
 def apply_common_flags(cfg, args) -> None:
     """Map CLI booleans onto config fields (reference det_train.py:73-87)."""
+    if getattr(args, "debug", False):
+        import jax
+
+        jax.config.update("jax_disable_jit", True)
+        jax.config.update("jax_debug_nans", True)
+    if getattr(args, "remat", False):
+        cfg.TRAINER.REMAT = True
     if args.opts:
         cfg.merge(args.opts)
     if getattr(args, "resume", False):

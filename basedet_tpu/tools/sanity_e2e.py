@@ -1,0 +1,163 @@
+"""End-to-end sanity: synthesize a trivially-learnable COCO dataset on disk,
+train a small detector on it, and evaluate box mAP with the in-repo COCOeval.
+
+This exercises every subsystem in one run (dataset → transforms → collator →
+jitted DP train step → checkpoint → inference → NMS → COCO metrics) and is
+the round's stand-in for zoo-weight parity (the reference zoo is
+unreachable from this environment).
+
+Usage: python -m basedet_tpu.tools.sanity_e2e [--steps 300] [--out /tmp/e2e]
+"""
+from __future__ import annotations
+
+import argparse
+import json
+import os
+
+import numpy as np
+
+
+def make_synthetic_coco(root: str, n_train=200, n_val=40, size=320, seed=0):
+    """Solid rectangles on noise: class = rectangle color (3 classes)."""
+    import cv2
+
+    rng = np.random.RandomState(seed)
+    colors = [(40, 40, 230), (40, 230, 40), (230, 40, 40)]  # BGR per class
+
+    def gen_split(split, n, id_base):
+        img_dir = os.path.join(root, split)
+        os.makedirs(img_dir, exist_ok=True)
+        images, annotations = [], []
+        aid = id_base * 100000
+        for i in range(n):
+            img_id = id_base * 100000 + i + 1
+            img = rng.randint(80, 176, (size, size, 3), np.uint8)
+            n_obj = rng.randint(1, 4)
+            for _ in range(n_obj):
+                w = int(rng.randint(size // 8, size // 3))
+                h = int(rng.randint(size // 8, size // 3))
+                x = int(rng.randint(0, size - w))
+                y = int(rng.randint(0, size - h))
+                cls = int(rng.randint(0, 3))
+                cv2.rectangle(img, (x, y), (x + w, y + h), colors[cls], -1)
+                aid += 1
+                annotations.append(
+                    dict(
+                        id=aid, image_id=img_id, category_id=cls + 1,
+                        bbox=[float(x), float(y), float(w), float(h)],
+                        area=float(w * h), iscrowd=0,
+                    )
+                )
+            name = f"{img_id:012d}.jpg"
+            cv2.imwrite(os.path.join(img_dir, name), img)
+            images.append(
+                dict(id=img_id, file_name=name, height=size, width=size)
+            )
+        categories = [
+            dict(id=c + 1, name=f"class{c}") for c in range(3)
+        ]
+        anno = dict(images=images, annotations=annotations,
+                    categories=categories)
+        anno_path = os.path.join(root, f"instances_{split}.json")
+        with open(anno_path, "w") as f:
+            json.dump(anno, f)
+        return img_dir, anno_path
+
+    train = gen_split("train", n_train, 1)
+    val = gen_split("val", n_val, 2)
+    return train, val
+
+
+def main(args=None):
+    parser = argparse.ArgumentParser("basedet_tpu e2e sanity")
+    parser.add_argument("--steps", type=int, default=300)
+    parser.add_argument("--out", type=str, default="/tmp/basedet_e2e")
+    parser.add_argument("--batch", type=int, default=8)
+    parser.add_argument("--size", type=int, default=320)
+    args = parser.parse_args(args)
+
+    import jax
+
+    from basedet_tpu.configs import RetinaNetConfig
+    from basedet_tpu.data.coco_loader import (
+        TestLoader,
+        _MappedLoader,
+        PrefetchIterator,
+    )
+    from basedet_tpu.data.collators.pad_collator import DetectionPadCollator
+    from basedet_tpu.data.datasets.coco import COCODataset
+    from basedet_tpu.data.samplers.samplers import AspectRatioGroupSampler
+    from basedet_tpu.engine.train_state import TrainState, make_train_step
+    from basedet_tpu.parallel import make_mesh, replicate_state, shard_batch
+    from basedet_tpu.utils import all_register, logger, setup_logger
+
+    all_register()
+    setup_logger()
+    (train_imgs, train_anno), (val_imgs, val_anno) = make_synthetic_coco(
+        args.out, size=args.size
+    )
+
+    cfg = RetinaNetConfig()
+    cfg.MODEL.BACKBONE.NAME = "resnet18"
+    # from-scratch training needs real (trainable) BN — FrozenBN with init
+    # statistics is an identity transform (the reference always loads
+    # ImageNet stats into FrozenBN; no pretrained weights exist here)
+    cfg.MODEL.BACKBONE.NORM = "BN"
+    cfg.MODEL.BACKBONE.FREEZE_AT = 0
+    cfg.MODEL.BATCHSIZE = args.batch
+    cfg.DATA.NUM_CLASSES = 3
+    cfg.DATA.MAX_INSTANCES = 8
+    cfg.SOLVER.BASIC_LR = 0.01 / 16
+    cfg.SOLVER.WARM_ITERS = 100
+    cfg.TRAINER.GRAD_CLIP = dict(
+        ENABLE=True, TYPE="norm", ARGS=dict(max_norm=10.0)
+    )
+    cfg.SOLVER.NUM_IMAGE_PER_EPOCH = 200
+    cfg.SOLVER.MAX_EPOCH = max(1, args.steps * args.batch // 200)
+    cfg.TEST.CLS_THRESHOLD = 0.05
+    cfg.GLOBAL.OUTPUT_DIR = args.out
+
+    model = cfg.build_model()
+    solver = cfg.build_solver()
+    mesh = make_mesh((("data", 1),), devices=jax.devices()[:1])
+    variables = model.init_variables(
+        jax.random.PRNGKey(0), image_size=(args.size, args.size)
+    )
+    state = replicate_state(TrainState.create(variables, solver, ema=False), mesh)
+    step_fn = jax.jit(make_train_step(model, solver, cfg), donate_argnums=(0,))
+
+    train_ds = COCODataset(train_imgs, train_anno)
+    sampler = AspectRatioGroupSampler(
+        train_ds.aspect_ratios(), batch_size=args.batch
+    )
+    collator = DetectionPadCollator(max_instances=8)
+    loader = PrefetchIterator(
+        lambda: iter(_MappedLoader(train_ds, None, lambda: iter(sampler), collator)),
+        depth=2, infinite=True,
+    )
+
+    it = iter(loader)
+    for step in range(args.steps):
+        batch = dict(next(it))
+        batch.pop("image_id", None)
+        batch = shard_batch(batch, mesh)
+        state, metrics = step_fn(state, batch)
+        if step % 50 == 0 or step == args.steps - 1:
+            logger.info(
+                f"step {step}: total_loss={float(metrics['total_loss']):.4f}"
+            )
+
+    # evaluation
+    val_ds = COCODataset(val_imgs, val_anno, remove_images_without_annotations=False)
+    test_loader = TestLoader(val_ds, None, collator, batch_size=1)
+    evaluator = cfg.build_evaluator()
+    eval_vars = state.variables()
+    results = evaluator.evaluate_model(model, eval_vars, test_loader)
+    logger.info(f"E2E synthetic results: {results}")
+    print(json.dumps({"e2e_synthetic_AP": results.get("AP"),
+                      "AP50": results.get("AP50")}))
+    return results
+
+
+if __name__ == "__main__":
+    main()
