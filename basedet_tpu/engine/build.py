@@ -23,9 +23,16 @@ class SimpleHookList:
 
     @classmethod
     def build(cls, cfg):
+        from .hooks import OrbaxCheckpointHook
+
         ckpt_dir = cfg.GLOBAL.get("CKPT_SAVE_DIR", "logs/ckpt")
-        hooks = [
-            ResumeHook(ckpt_dir, enable=cfg.TRAINER.get("RESUME", False)),
+        use_orbax = cfg.GLOBAL.get("CKPT_BACKEND", "pickle") == "orbax"
+        hooks = []
+        if not use_orbax:
+            hooks.append(
+                ResumeHook(ckpt_dir, enable=cfg.TRAINER.get("RESUME", False))
+            )
+        hooks += [
             LRSchedulerHook(),
             LoggerHook(log_interval=cfg.GLOBAL.get("LOG_INTERVAL", 20)),
         ]
@@ -33,7 +40,10 @@ class SimpleHookList:
             hooks.append(
                 TensorboardHook(os.path.join(cfg.GLOBAL.OUTPUT_DIR, "tb"))
             )
-        hooks.append(CheckpointHook(ckpt_dir))
+        hooks.append(
+            OrbaxCheckpointHook(ckpt_dir) if use_orbax
+            else CheckpointHook(ckpt_dir)
+        )
         hooks.append(EvalHook(cfg.TEST.get("EVAL_EPOCH_INTERVAL", None)))
         return hooks
 

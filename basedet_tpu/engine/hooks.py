@@ -167,6 +167,61 @@ class ResumeHook(BaseHook):
 
 
 @registers.hooks.register()
+class OrbaxCheckpointHook(BaseHook):
+    """Async (preemption-safe) checkpointing via orbax — the TPU-idiomatic
+    upgrade over pickle snapshots (SURVEY.md §5: the reference has
+    checkpoint-resume only; orbax async writes overlap training and survive
+    preemptions). Enabled with GLOBAL.CKPT_BACKEND = "orbax"."""
+
+    def __init__(self, save_dir: str, max_to_keep: int = 3):
+        self.save_dir = os.path.abspath(save_dir)
+        self.max_to_keep = max_to_keep
+        self._mngr = None
+
+    @property
+    def mngr(self):
+        if self._mngr is None:
+            import orbax.checkpoint as ocp
+
+            self._mngr = ocp.CheckpointManager(
+                self.save_dir,
+                options=ocp.CheckpointManagerOptions(
+                    max_to_keep=self.max_to_keep,
+                    enable_async_checkpointing=True,
+                ),
+            )
+        return self._mngr
+
+    def before_train(self):
+        t = self.trainer
+        if not t.cfg.TRAINER.get("RESUME", False):
+            return
+        import orbax.checkpoint as ocp
+
+        step = self.mngr.latest_step()
+        if step is None:
+            logger.info("orbax: no checkpoint found; training from scratch")
+            return
+        t.state = self.mngr.restore(
+            step, args=ocp.args.StandardRestore(t.state)
+        )
+        t.progress.epoch = step + 1
+        logger.info(f"orbax: resumed from step {step}")
+
+    def after_epoch(self):
+        import orbax.checkpoint as ocp
+
+        t = self.trainer
+        self.mngr.save(
+            t.progress.epoch, args=ocp.args.StandardSave(t.state)
+        )
+
+    def after_train(self):
+        if self._mngr is not None:
+            self._mngr.wait_until_finished()
+
+
+@registers.hooks.register()
 class EvalHook(BaseHook):
     """Mid-train + final evaluation, including the EMA weights
     (reference hooks.py:251-293)."""

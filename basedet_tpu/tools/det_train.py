@@ -15,7 +15,17 @@ from .misc import apply_common_flags, default_parser, import_config
 
 def main(args=None):
     parser = default_parser("basedet_tpu train")
+    parser.add_argument(
+        "--multi-host", action="store_true",
+        help="initialize jax.distributed for multi-host TPU slices "
+             "(the analogue of the reference's dist.launcher; single-host "
+             "runs need nothing)",
+    )
     args = parser.parse_args(args)
+    if getattr(args, "multi_host", False):
+        import jax
+
+        jax.distributed.initialize()
     all_register()
     cfg = import_config(args.file)
     apply_common_flags(cfg, args)
