@@ -168,6 +168,17 @@ class TestLoader:
         return (len(self.sampler) + self.batch_size - 1) // self.batch_size
 
 
+def _default_test_buckets(min_size: int, max_size: int):
+    """Static pad buckets covering every ShortestEdgeResize output shape:
+    one dim == min_size (up to x32) with the other ≤ max_size, either
+    orientation, plus a square fallback for extreme aspect ratios. Keeps the
+    jitted inference at a handful of compilations instead of one per image."""
+    lo = (min_size + 31) // 32 * 32
+    hi = (max_size + 31) // 32 * 32
+    # first-fit order: tightest first (collator picks the first that fits)
+    return [(lo, lo), (lo, hi), (hi, lo), (hi, hi)]
+
+
 def build_coco_test_loader(cfg, dataset_name: Optional[str] = None,
                            batch_size: int = 1):
     images_dir, anno = resolve_dataset(dataset_name or cfg.DATA.TEST.name)
@@ -186,8 +197,11 @@ def build_coco_test_loader(cfg, dataset_name: Optional[str] = None,
             ),
         )
     )
+    buckets = cfg.DATA.get("TEST_SIZE_BUCKETS", None) or _default_test_buckets(
+        cfg.TEST.IMG_MIN_SIZE, cfg.TEST.IMG_MAX_SIZE
+    )
     collator = DetectionPadCollator(
         max_instances=cfg.DATA.get("MAX_INSTANCES", 100),
-        size_buckets=cfg.DATA.get("TEST_SIZE_BUCKETS", None),
+        size_buckets=buckets,
     )
     return TestLoader(dataset, transform, collator, batch_size=batch_size)

@@ -142,23 +142,36 @@ class EvalBenchmark:
 
 
 def benchmark_all_models(models: List[str], image_size: int, batch: int,
-                         amp: bool, out_path: str):
+                         amp: bool, out_path: str, modes=("train", "eval")):
+    import os
+
     results = []
+    if os.path.exists(out_path):  # append to an existing sweep
+        with open(out_path) as f:
+            results = json.load(f)
+
+    def flush():
+        with open(out_path, "w") as f:
+            json.dump(results, f, indent=2)
+
     for name in models:
-        try:
-            r = TrainBenchmark(name, image_size, batch, amp=amp).run()
-            logger.info(f"{r}")
-            results.append(r)
-        except Exception as e:
-            logger.warning(f"train bench {name} failed: {e}")
-        try:
-            r = EvalBenchmark(name, image_size).run()
-            logger.info(f"{r}")
-            results.append(r)
-        except Exception as e:
-            logger.warning(f"eval bench {name} failed: {e}")
-    with open(out_path, "w") as f:
-        json.dump(results, f, indent=2)
+        if "train" in modes:
+            try:
+                r = TrainBenchmark(name, image_size, batch, amp=amp).run()
+                logger.info(f"{r}")
+                results.append(r)
+                flush()
+            except Exception as e:
+                logger.warning(f"train bench {name} failed: {e}")
+        if "eval" in modes:
+            try:
+                r = EvalBenchmark(name, image_size).run()
+                logger.info(f"{r}")
+                results.append(r)
+                flush()
+            except Exception as e:
+                logger.warning(f"eval bench {name} failed: {e}")
+    flush()
     logger.info(f"wrote {out_path}")
     return results
 
@@ -173,11 +186,13 @@ def main(args=None):
     parser.add_argument("--batch", type=int, default=8)
     parser.add_argument("--amp", action="store_true")
     parser.add_argument("--out", type=str, default="benchmark.json")
+    parser.add_argument("--modes", nargs="+", default=["train", "eval"])
     args = parser.parse_args(args)
     all_register()
     setup_logger()
     return benchmark_all_models(
-        args.models, args.image_size, args.batch, args.amp, args.out
+        args.models, args.image_size, args.batch, args.amp, args.out,
+        modes=tuple(args.modes),
     )
 
 
