@@ -24,6 +24,9 @@ from basedet_tpu.utils import MeterBuffer, logger, registers
 @registers.trainers.register()
 class DetTrainer:
     def __init__(self, cfg, model, dataloader, solver, hooks: List = ()):
+        from basedet_tpu.utils.compile_cache import enable_compilation_cache
+
+        enable_compilation_cache()
         self.cfg = cfg
         self.model = model
         self.dataloader = dataloader

@@ -188,6 +188,9 @@ def main(args=None):
     parser.add_argument("--out", type=str, default="benchmark.json")
     parser.add_argument("--modes", nargs="+", default=["train", "eval"])
     args = parser.parse_args(args)
+    from basedet_tpu.utils.compile_cache import enable_compilation_cache
+
+    enable_compilation_cache()
     all_register()
     setup_logger()
     return benchmark_all_models(

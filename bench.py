@@ -16,6 +16,10 @@ import time
 def main():
     import jax
 
+    from basedet_tpu.utils.compile_cache import enable_compilation_cache
+
+    enable_compilation_cache()
+
     from basedet_tpu.engine.train_state import TrainState, make_train_step
     from basedet_tpu.parallel import make_mesh, replicate_state, shard_batch
     from basedet_tpu.utils.dummy import DummyLoader
