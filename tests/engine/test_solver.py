@@ -10,23 +10,24 @@ from basedet_tpu.utils import ConfigDict
 
 
 def base_cfg(**solver):
-    solver.setdefault("BUILDER_NAME", "DetSolver")
+    defaults = dict(
+        BUILDER_NAME="DetSolver",
+        OPTIMIZER_NAME="SGD",
+        LR_SCHEDULER_NAME="MultiStepLR",
+        BASIC_LR=0.01,
+        WEIGHT_DECAY=1e-4,
+        EXTRA_OPT_ARGS=dict(momentum=0.9),
+        REDUCE_MODE="MEAN",
+        WARM_ITERS=0,
+        NUM_IMAGE_PER_EPOCH=100,
+        MAX_EPOCH=10,
+        LR_DECAY_STAGES=[6, 8],
+        LR_DECAY_RATE=0.1,
+    )
+    defaults.update(solver)
     return ConfigDict(
         MODEL=dict(BATCHSIZE=2, BACKBONE=dict(FREEZE_AT=2)),
-        SOLVER=dict(
-            OPTIMIZER_NAME="SGD",
-            LR_SCHEDULER_NAME="MultiStepLR",
-            BASIC_LR=0.01,
-            WEIGHT_DECAY=1e-4,
-            EXTRA_OPT_ARGS=dict(momentum=0.9),
-            REDUCE_MODE="MEAN",
-            WARM_ITERS=0,
-            NUM_IMAGE_PER_EPOCH=100,
-            MAX_EPOCH=10,
-            LR_DECAY_STAGES=[6, 8],
-            LR_DECAY_RATE=0.1,
-            **solver,
-        ),
+        SOLVER=defaults,
         TRAINER=dict(GRAD_CLIP=dict(ENABLE=False)),
     )
 
@@ -61,7 +62,7 @@ def test_det_solver_freezes_backbone_prefix():
 def test_yolox_solver_no_decay_on_bias_and_scale():
     cfg = base_cfg(BUILDER_NAME="YOLOXSolver", LR_SCHEDULER_NAME="YoloxCosineLR",
                    EXTRA_LR_ARGS=dict(NO_AUG_EPOCH=2, MIN_LR_RATIO=0.05),
-                   WARM_ITERS=5)
+                   WARM_ITERS=0)
     solver = YOLOXSolver.build(cfg, world_size=1)
     params = fake_params()
     opt_state = solver.init(params)
