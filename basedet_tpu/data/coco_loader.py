@@ -53,22 +53,41 @@ class PrefetchIterator:
 
 
 class _MappedLoader:
-    """Finite epoch iterator: sampler batches → transformed records → batch."""
+    """Finite epoch iterator: sampler batches → transformed records → batch.
 
-    def __init__(self, dataset, transform, sampler_iter_factory, collator):
+    ``num_workers > 0`` maps sample loading+augmentation over a fork-based
+    process pool (the analogue of the reference's DataLoader NUM_WORKERS,
+    data/build.py; mosaic/cv2 work is GIL-bound so threads don't help)."""
+
+    def __init__(self, dataset, transform, sampler_iter_factory, collator,
+                 num_workers: int = 0):
         self.dataset = dataset
         self.transform = transform
         self.sampler_iter_factory = sampler_iter_factory
         self.collator = collator
+        self.num_workers = num_workers
+        self._pool = None
+
+    def _load_one(self, i):
+        rec = self.dataset[i]
+        if self.transform is not None:
+            rec = self.transform(rec)
+        return rec
+
+    def _get_pool(self):
+        if self._pool is None:
+            import multiprocessing as mp
+
+            ctx = mp.get_context("fork")
+            self._pool = ctx.Pool(self.num_workers)
+        return self._pool
 
     def __iter__(self):
         for batch_idx in self.sampler_iter_factory():
-            records = []
-            for i in batch_idx:
-                rec = self.dataset[i]
-                if self.transform is not None:
-                    rec = self.transform(rec)
-                records.append(rec)
+            if self.num_workers > 0:
+                records = self._get_pool().map(self._load_one, batch_idx)
+            else:
+                records = [self._load_one(i) for i in batch_idx]
             yield self.collator(records)
 
 
@@ -90,7 +109,10 @@ def build_coco_train_loader(cfg, global_batch: int, with_mask: bool = False):
         max_instances=cfg.DATA.get("MAX_INSTANCES", 100),
         size_buckets=cfg.DATA.get("SIZE_BUCKETS", None),
     )
-    loader = _MappedLoader(dataset, transform, lambda: iter(sampler), collator)
+    loader = _MappedLoader(
+        dataset, transform, lambda: iter(sampler), collator,
+        num_workers=cfg.DATA.get("NUM_WORKERS", 0),
+    )
     return PrefetchIterator(lambda: iter(loader), depth=2, infinite=True)
 
 
@@ -125,15 +147,24 @@ def build_yolox_train_loader(cfg, global_batch: int):
         max_instances=cfg.DATA.get("MAX_INSTANCES", 100)
     )
 
+    mapped = _MappedLoader(
+        mosaic_ds, None, None, collator,
+        num_workers=cfg.DATA.get("NUM_WORKERS", 0),
+    )
+
     def epoch_iter():
         idxs = list(range(len(mosaic_ds)))
         _random.shuffle(idxs)
-        batch = []
-        for i in idxs:
-            batch.append(mosaic_ds[i])
-            if len(batch) == global_batch:
-                yield collator(batch)
-                batch = []
+        batches = [
+            idxs[i:i + global_batch]
+            for i in range(0, len(idxs) - global_batch + 1, global_batch)
+        ]
+        for batch_idx in batches:
+            if mapped.num_workers > 0:
+                records = mapped._get_pool().map(mapped._load_one, batch_idx)
+            else:
+                records = [mapped._load_one(i) for i in batch_idx]
+            yield collator(records)
 
     loader = PrefetchIterator(epoch_iter, depth=2, infinite=True)
     loader.mosaic_dataset = mosaic_ds

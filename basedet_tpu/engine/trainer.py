@@ -141,6 +141,11 @@ class DetTrainer:
                     train_time=(t2 - last) / log_interval
                 )
             self.meters.update(metrics)
+            # model-pushed host-side metrics (reference BaseNet.extra_meter,
+            # e.g. YOLOX's current img_size — models/det/yolox.py:256)
+            extra = getattr(self.model, "extra_meter", None)
+            if extra:
+                self.meters.update(extra)
         self.meters.update(data_time=t1 - t0)
 
     def _call_hooks(self, phase: str):

@@ -135,7 +135,9 @@ class YOLOX(BaseNet):
         """Hook for the trainer: multiscale resize before the jitted step
         (one compiled step per size bucket — the sizes are a small static
         set 32·[14..26], engine/build.py:63-64 in the reference)."""
-        return self.resize_batch(batch, self.target_size_for_step(step))
+        size = self.target_size_for_step(step)
+        self.extra_meter = {"img_size": size[0]}
+        return self.resize_batch(batch, size)
 
     # -- assignment ----------------------------------------------------------------
     def _assign_single(
