@@ -124,7 +124,19 @@ def nms_padded(
     sort_boxes = boxes[order]
     sort_valid = sort_scores > NEG_INF / 2
 
-    keep = _nms_sorted(sort_boxes, sort_valid, iou_threshold, max_output, tile)
+    import os
+
+    backend = os.environ.get("BASEDET_NMS_BACKEND")
+    if backend is None:
+        backend = "pallas" if jax.default_backend() == "tpu" else "xla"
+    if backend == "pallas":
+        from basedet_tpu.ops.nms_pallas import nms_keep_pallas
+
+        keep = nms_keep_pallas(sort_boxes, sort_valid, iou_threshold)
+    else:
+        keep = _nms_sorted(
+            sort_boxes, sort_valid, iou_threshold, max_output, tile
+        )
 
     # compact kept entries (already score-sorted) into max_output slots
     kept_rank = jnp.cumsum(keep.astype(jnp.int32)) - 1
