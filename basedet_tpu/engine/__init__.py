@@ -9,11 +9,13 @@ from .hooks import (
     TensorboardHook,
 )
 from .progress import Progress
+from .tester import BaseTester
 from .train_state import TrainState, ema_momentum, make_train_step
 from .trainer import DetTrainer
 
 __all__ = [
     "BaseHook",
+    "BaseTester",
     "CheckpointHook",
     "DetTrainer",
     "EvalHook",
