@@ -15,7 +15,7 @@ from typing import Dict, List, Optional, Tuple
 
 import numpy as np
 
-from basedet_tpu.utils import logger, registers
+from basedet_tpu.utils import logger
 
 
 class COCODataset:

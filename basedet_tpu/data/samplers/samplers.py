@@ -7,7 +7,6 @@ sharding (each host feeds its local devices a slice of the global batch).
 """
 from __future__ import annotations
 
-import random
 from typing import Iterator, List, Sequence
 
 import numpy as np

@@ -8,8 +8,6 @@ from typing import Tuple
 import cv2
 import numpy as np
 
-from basedet_tpu.utils import registers
-
 from .transforms import Transform, _register
 
 

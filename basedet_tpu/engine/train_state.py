@@ -10,7 +10,6 @@ sharded and the state is replicated — the analogue of the reference's
 """
 from __future__ import annotations
 
-import functools
 from typing import Any, Callable, Dict, Optional, Tuple
 
 import jax

@@ -16,7 +16,7 @@ import jax.numpy as jnp
 from flax import linen as nn
 
 from basedet_tpu.layers.common.blocks import get_norm, msra_normal
-from basedet_tpu.layers.precision import Conv, ConvTranspose, Dense
+from basedet_tpu.layers.precision import Conv, ConvTranspose
 
 
 def _upsample2x(x: jnp.ndarray, like: jnp.ndarray) -> jnp.ndarray:

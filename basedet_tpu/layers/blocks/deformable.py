@@ -14,7 +14,7 @@ from typing import Tuple
 import jax
 import jax.numpy as jnp
 from flax import linen as nn
-from basedet_tpu.layers.precision import Conv, ConvTranspose, Dense
+from basedet_tpu.layers.precision import Conv, Dense
 
 
 def _bilinear_sample(img: jnp.ndarray, y: jnp.ndarray, x: jnp.ndarray) -> jnp.ndarray:

@@ -13,7 +13,7 @@ import jax.numpy as jnp
 from flax import linen as nn
 
 from basedet_tpu.layers.common.blocks import get_activation, get_norm
-from basedet_tpu.layers.precision import Conv, ConvTranspose, Dense
+from basedet_tpu.layers.precision import Conv
 
 
 class _ConvBNAct(nn.Module):

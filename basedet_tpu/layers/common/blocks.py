@@ -15,7 +15,7 @@ from typing import Any, Callable, Optional, Sequence, Union
 import jax
 import jax.numpy as jnp
 from flax import linen as nn
-from basedet_tpu.layers.precision import Conv, ConvTranspose, Dense
+from basedet_tpu.layers.precision import Conv
 
 ModuleDef = Any
 

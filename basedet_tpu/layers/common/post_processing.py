@@ -10,7 +10,7 @@ from typing import Tuple
 
 import jax.numpy as jnp
 
-from basedet_tpu.ops.nms import NEG_INF, batched_nms_padded
+from basedet_tpu.ops.nms import batched_nms_padded
 from basedet_tpu.structures.box_ops import clip_boxes
 
 

@@ -18,7 +18,7 @@ from flax import linen as nn
 from basedet_tpu.layers.common.sampling import sample_mask
 from basedet_tpu.layers.losses import smooth_l1_loss
 from basedet_tpu.structures import BoxCoder, box_iou
-from basedet_tpu.layers.precision import Conv, ConvTranspose, Dense
+from basedet_tpu.layers.precision import Dense
 
 
 class RCNNPredictor(nn.Module):

@@ -12,7 +12,7 @@ from typing import List, Sequence, Tuple
 import jax
 import jax.numpy as jnp
 from flax import linen as nn
-from basedet_tpu.layers.precision import Conv, ConvTranspose, Dense
+from basedet_tpu.layers.precision import Conv
 
 
 class RetinaNetHead(nn.Module):

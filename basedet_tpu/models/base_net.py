@@ -22,7 +22,6 @@ from typing import Any, Dict, Optional, Tuple
 
 import jax
 import jax.numpy as jnp
-import numpy as np
 
 from basedet_tpu.layers.common.pre_processing import data_to_input
 from basedet_tpu.utils import logger

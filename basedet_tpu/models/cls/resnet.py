@@ -16,7 +16,7 @@ import jax.numpy as jnp
 from flax import linen as nn
 
 from basedet_tpu.layers.common.blocks import get_norm
-from basedet_tpu.layers.precision import Conv, ConvTranspose, Dense
+from basedet_tpu.layers.precision import Conv
 
 _STAGE_SPECS: Dict[str, Tuple[str, Sequence[int]]] = {
     "resnet18": ("basic", (2, 2, 2, 2)),

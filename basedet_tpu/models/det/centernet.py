@@ -13,12 +13,10 @@ Static-shape redesign:
 from __future__ import annotations
 
 import functools
-import math
 from typing import Dict
 
 import jax
 import jax.numpy as jnp
-import numpy as np
 from flax import linen as nn
 
 from basedet_tpu.layers.head.center_head import CenterHead, CenternetDeconv

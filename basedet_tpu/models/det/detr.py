@@ -12,7 +12,6 @@ Background class index is NUM_CLASSES (last), matching DETR convention.
 """
 from __future__ import annotations
 
-import functools
 from typing import Dict
 
 import jax

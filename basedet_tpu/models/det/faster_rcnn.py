@@ -9,7 +9,6 @@ RoIAlign (basedet_tpu/ops/roi_align.py).
 """
 from __future__ import annotations
 
-import functools
 from typing import Sequence
 
 import jax

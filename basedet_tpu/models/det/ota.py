@@ -25,7 +25,6 @@ from basedet_tpu.layers.common.matcher import (
 from basedet_tpu.layers.losses import (
     binary_cross_entropy,
     iou_loss,
-    pairwise_iou_ltrb,
     sigmoid_focal_loss,
 )
 from basedet_tpu.utils import registers

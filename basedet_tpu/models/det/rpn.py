@@ -9,7 +9,6 @@ rank-vs-quota trick from layers/common/sampling.py.
 """
 from __future__ import annotations
 
-import functools
 from typing import List, Sequence, Tuple
 
 import jax
@@ -22,7 +21,7 @@ from basedet_tpu.layers.losses import binary_cross_entropy, smooth_l1_loss
 from basedet_tpu.ops.nms import NEG_INF, batched_nms_padded
 from basedet_tpu.structures import BoxCoder, box_iou
 from basedet_tpu.structures.box_ops import clip_boxes, nonempty_mask
-from basedet_tpu.layers.precision import Conv, ConvTranspose, Dense
+from basedet_tpu.layers.precision import Conv
 
 
 class RPNHead(nn.Module):

@@ -10,7 +10,6 @@ in place of ``x``, yolov3.py:247) is fixed to the intended semantics.
 """
 from __future__ import annotations
 
-import functools
 from typing import Sequence, Tuple
 
 import jax

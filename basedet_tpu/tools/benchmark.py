@@ -13,7 +13,6 @@ import time
 from typing import Dict, List
 
 import jax
-import numpy as np
 
 from basedet_tpu.utils import all_register, logger, setup_logger
 

@@ -6,8 +6,6 @@ drives all local devices through pjit; multi-host runs call
 """
 from __future__ import annotations
 
-import os
-
 from basedet_tpu.utils import all_register, logger, setup_logger
 
 from .misc import apply_common_flags, default_parser, import_config
