@@ -56,6 +56,7 @@ def find_top_proposals_single(
     prev_nms_topk: int,
     post_nms_topk: int,
     nms_threshold: float,
+    nms_backend=None,
 ) -> Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray]:
     """One image → (proposals (P, 4), scores (P,), valid (P,)),
     P = post_nms_topk."""
@@ -76,7 +77,8 @@ def find_top_proposals_single(
     scores = jnp.concatenate(cand_scores, axis=0)
     levels = jnp.concatenate(cand_levels, axis=0)
     _, out_boxes, out_scores, valid = batched_nms_padded(
-        boxes, scores, levels, nms_threshold, post_nms_topk
+        boxes, scores, levels, nms_threshold, post_nms_topk,
+        backend=nms_backend,
     )
     return out_boxes, out_scores, valid
 

@@ -104,6 +104,7 @@ def nms_padded(
     max_output: int,
     score_threshold: Optional[float] = None,
     tile: int = 256,
+    backend: Optional[str] = None,
 ) -> Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray, jnp.ndarray]:
     """Greedy hard NMS with static shapes.
 
@@ -126,7 +127,10 @@ def nms_padded(
 
     import os
 
-    backend = os.environ.get("BASEDET_NMS_BACKEND")
+    # the Pallas kernel has no JVP rule — differentiated call sites (e.g.
+    # RPN proposals inside the train graph) must pass backend="xla"
+    if backend is None:
+        backend = os.environ.get("BASEDET_NMS_BACKEND")
     if backend is None:
         backend = "pallas" if jax.default_backend() == "tpu" else "xla"
     if backend == "pallas":
@@ -159,6 +163,7 @@ def batched_nms_padded(
     iou_threshold: float,
     max_output: int,
     tile: int = 256,
+    backend: Optional[str] = None,
 ) -> Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray, jnp.ndarray]:
     """Class-aware NMS via the coordinate-offset trick
     (reference post_processing.py:17-47). ``idxs`` is the per-box class id.
@@ -173,7 +178,7 @@ def batched_nms_padded(
     offsets = idxs.astype(boxes.dtype) * max_coord
     shifted = safe_boxes + offsets[:, None]
     idx, _, out_scores, out_valid = nms_padded(
-        shifted, scores, iou_threshold, max_output, tile=tile
+        shifted, scores, iou_threshold, max_output, tile=tile, backend=backend
     )
     out_boxes = jnp.where(out_valid[:, None], safe_boxes[idx], 0.0)
     return idx, out_boxes, out_scores, out_valid

@@ -31,6 +31,7 @@ def _build(model_name: str, image_size: int, batch: int):
         "YOLOv3": C.YOLOv3Config,
         "CenterNet": C.CenterNetConfig,
         "OTA": C.OTAConfig,
+        "DETR": C.DETRConfig,
     }[model_name]
     cfg = cfg_cls()
     cfg.MODEL.BATCHSIZE = batch
