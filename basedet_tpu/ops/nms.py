@@ -52,12 +52,11 @@ def _suppress_tile_fixpoint(iou_tile: jnp.ndarray, keep: jnp.ndarray) -> jnp.nda
     return keep_final
 
 
-@functools.partial(jax.jit, static_argnames=("max_output", "tile"))
+@functools.partial(jax.jit, static_argnames=("tile",))
 def _nms_sorted(
     boxes: jnp.ndarray,
     valid: jnp.ndarray,
     iou_threshold,
-    max_output: int,
     tile: int,
 ) -> jnp.ndarray:
     """Greedy NMS over boxes already sorted by descending score.
@@ -138,9 +137,7 @@ def nms_padded(
 
         keep = nms_keep_pallas(sort_boxes, sort_valid, iou_threshold)
     else:
-        keep = _nms_sorted(
-            sort_boxes, sort_valid, iou_threshold, max_output, tile
-        )
+        keep = _nms_sorted(sort_boxes, sort_valid, iou_threshold, tile)
 
     # compact kept entries (already score-sorted) into max_output slots
     kept_rank = jnp.cumsum(keep.astype(jnp.int32)) - 1
