@@ -100,8 +100,6 @@ class FasterRCNNModule(nn.Module):
             lambda lg, of, info: find_top_proposals_single(
                 lg, of, anchors_list, (info[0], info[1]), rpn_coder,
                 prev_k, post_k, m.RPN.NMS_THRESHOLD,
-                # train graph is differentiated: Pallas NMS has no JVP rule
-                nms_backend="xla" if self.train else None,
             )
         )([x for x in flat_logits], [x for x in flat_offsets], im_info)
         proposals = jax.lax.stop_gradient(proposals)

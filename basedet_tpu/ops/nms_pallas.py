@@ -101,17 +101,50 @@ def _nms_kernel(boxes_ref, valid_ref, thresh_ref, keep_ref):
     keep_ref[0, pl.ds(start, T)] = final[0]
 
 
+def nms_keep_pallas(sorted_boxes, valid, iou_threshold, interpret=False):
+    """Greedy-NMS keep mask over score-sorted boxes.
+
+    sorted_boxes (K, 4) xyxy, valid (K,) bool → keep (K,) bool.
+
+    Differentiable call sites are allowed: the keep mask is piecewise
+    constant in the box coordinates, so the VJP is zero (pallas_call itself
+    has no autodiff rule — the custom_vjp wrapper supplies the trivial one).
+    """
+    if interpret:
+        return _nms_keep_impl(sorted_boxes, valid, iou_threshold, True)
+    return _nms_core(
+        sorted_boxes,
+        valid.astype(jnp.float32),
+        jnp.asarray(iou_threshold, jnp.float32),
+    )
+
+
+@jax.custom_vjp
+def _nms_core(sorted_boxes, valid_f, thresh):
+    return _nms_keep_impl(sorted_boxes, valid_f > 0, thresh, False)
+
+
+def _nms_core_fwd(sorted_boxes, valid_f, thresh):
+    return _nms_core(sorted_boxes, valid_f, thresh), (
+        sorted_boxes, valid_f, thresh,
+    )
+
+
+def _nms_core_bwd(residuals, _cotangent):
+    sb, vf, t = residuals
+    return jnp.zeros_like(sb), jnp.zeros_like(vf), jnp.zeros_like(t)
+
+
+_nms_core.defvjp(_nms_core_fwd, _nms_core_bwd)
+
+
 @functools.partial(jax.jit, static_argnames=("interpret",))
-def nms_keep_pallas(
+def _nms_keep_impl(
     sorted_boxes: jnp.ndarray,
     valid: jnp.ndarray,
     iou_threshold,
     interpret: bool = False,
 ) -> jnp.ndarray:
-    """Greedy-NMS keep mask over score-sorted boxes.
-
-    sorted_boxes (K, 4) xyxy, valid (K,) bool → keep (K,) bool.
-    """
     K = sorted_boxes.shape[0]
     Kp = max(_TILE, (K + _TILE - 1) // _TILE * _TILE)
     b = jnp.zeros((4, Kp), jnp.float32).at[:, :K].set(
