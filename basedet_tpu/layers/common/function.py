@@ -34,6 +34,20 @@ def meshgrid(y: jnp.ndarray, x: jnp.ndarray):
     return gx, gy
 
 
+def topk_scores(scores: jnp.ndarray, k: int, approx: bool = True):
+    """Top-k candidate selection for inference.
+
+    On TPU, exact ``lax.top_k`` fully sorts the (R·C)-wide score vector —
+    the dominant cost of dense-head inference at A=9 (4.6M entries at 640²).
+    ``lax.approx_max_k`` uses the TPU's partial-reduction unit at
+    recall ≥ 0.99 for a fraction of the cost; the NMS stage makes the final
+    selection, so mAP impact is nil. Training paths keep exact top-k.
+    """
+    if approx and jax.default_backend() == "tpu":
+        return jax.lax.approx_max_k(scores, k, recall_target=0.99)
+    return jax.lax.top_k(scores, k)
+
+
 def masked_topk(
     values: jnp.ndarray, mask: jnp.ndarray, k: int, fill=-1e10
 ) -> Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray]:

@@ -19,6 +19,7 @@ from basedet_tpu.layers.backbone.fpn import FPN
 from basedet_tpu.layers.common.anchor_generator import DefaultAnchorGenerator
 from basedet_tpu.layers.common.matcher import Matcher
 from basedet_tpu.layers.common.post_processing import post_processing
+from basedet_tpu.layers.common.function import topk_scores
 from basedet_tpu.layers.head.rcnn import (
     RCNNPredictor,
     rcnn_losses,
@@ -247,7 +248,7 @@ class FasterRCNN(BaseNet):
                 valid_i[:, None], scores_i, 0.0
             ).reshape(-1)  # (P*C,)
             k = min(2000, flat_scores.shape[0])
-            top_scores, top_idx = jax.lax.top_k(flat_scores, k)
+            top_scores, top_idx = topk_scores(flat_scores, k)
             keep = top_scores > test_cfg.get("CLS_THRESHOLD", 0.05)
             cls_idx = top_idx % C
             box_sel = boxes_i.reshape(-1, 4)[top_idx]

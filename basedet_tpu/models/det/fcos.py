@@ -24,6 +24,7 @@ from flax import linen as nn
 from basedet_tpu.layers.backbone.fpn import FPN
 from basedet_tpu.layers.common.anchor_generator import AnchorPointGenerator
 from basedet_tpu.layers.common.post_processing import post_processing
+from basedet_tpu.layers.common.function import topk_scores
 from basedet_tpu.layers.head.point_head import PointHead
 from basedet_tpu.layers.losses import (
     binary_cross_entropy,
@@ -275,7 +276,7 @@ class FCOS(BaseNet):
                     jax.nn.sigmoid(logits) * jax.nn.sigmoid(ctr)
                 ).reshape(-1)  # (R*C,)
                 k = min(1000, score.shape[0])
-                top_scores, top_idx = jax.lax.top_k(score, k)
+                top_scores, top_idx = topk_scores(score, k)
                 keep = top_scores > test_cfg.CLS_THRESHOLD
                 pt_idx = top_idx // C
                 cls_idx = top_idx % C

@@ -22,6 +22,7 @@ from basedet_tpu.layers.backbone.fpn import FPN
 from basedet_tpu.layers.common.anchor_generator import DefaultAnchorGenerator
 from basedet_tpu.layers.common.matcher import Matcher
 from basedet_tpu.layers.common.post_processing import post_processing
+from basedet_tpu.layers.common.function import topk_scores
 from basedet_tpu.layers.head.retina_head import RetinaNetHead
 from basedet_tpu.layers.losses import sigmoid_focal_loss, smooth_l1_loss
 from basedet_tpu.models.base_net import BaseNet
@@ -227,7 +228,7 @@ class RetinaNet(BaseNet):
                 R, C = logits.shape[0], logits.shape[1]
                 scores = jax.nn.sigmoid(logits).reshape(-1)  # (R*C,)
                 k = min(1000, scores.shape[0])
-                top_scores, top_idx = jax.lax.top_k(scores, k)
+                top_scores, top_idx = topk_scores(scores, k)
                 keep = top_scores > test_cfg.CLS_THRESHOLD
                 anchor_idx = top_idx // C
                 cls_idx = top_idx % C

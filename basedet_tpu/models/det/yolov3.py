@@ -19,6 +19,7 @@ from flax import linen as nn
 
 from basedet_tpu.layers.backbone.yolo_fpn import YOLOFPN
 from basedet_tpu.layers.common.post_processing import post_processing
+from basedet_tpu.layers.common.function import topk_scores
 from basedet_tpu.layers.losses import binary_cross_entropy
 from basedet_tpu.models.base_net import BaseNet
 from basedet_tpu.models.cls.darknet import Darknet, darknet_feature_channels
@@ -273,7 +274,7 @@ class YOLOv3(BaseNet):
                 cls = jax.nn.sigmoid(pred[:, 5:])
                 score = (conf * cls).reshape(-1)  # (R*C,)
                 k = min(1000, score.shape[0])
-                top_scores, top_idx = jax.lax.top_k(score, k)
+                top_scores, top_idx = topk_scores(score, k)
                 keep = top_scores > test_cfg.CLS_THRESHOLD
                 cand_boxes.append(boxes[top_idx // C])
                 cand_scores.append(jnp.where(keep, top_scores, NEG_INF))

@@ -30,6 +30,7 @@ from basedet_tpu.layers.backbone.yolo_pafpn import YOLOPAFPN
 from basedet_tpu.layers.common.anchor_generator import FastPointGenerator
 from basedet_tpu.layers.common.matcher import topk_dynamic_k_matching
 from basedet_tpu.layers.common.post_processing import post_processing
+from basedet_tpu.layers.common.function import topk_scores
 from basedet_tpu.layers.head.yolo_head import YOLOXHead
 from basedet_tpu.layers.losses import binary_cross_entropy, iou_loss, smooth_l1_loss
 from basedet_tpu.models.base_net import BaseNet
@@ -352,7 +353,7 @@ class YOLOX(BaseNet):
                     jnp.concatenate([xy, wh], axis=-1), "xcycwh", "xyxy"
                 )
                 k = min(1000, score.shape[0])
-                top_scores, top_idx = jax.lax.top_k(score, k)
+                top_scores, top_idx = topk_scores(score, k)
                 keep = top_scores > test_cfg.CLS_THRESHOLD
                 cand_boxes.append(boxes[top_idx // C])
                 cand_scores.append(jnp.where(keep, top_scores, NEG_INF))
