@@ -1,0 +1,9 @@
+"""FCOS R50-FPN 800px 1x (user config protocol — subclass and override)."""
+from basedet_tpu.configs import FCOSConfig
+
+
+class Cfg(FCOSConfig):
+    def __init__(self):
+        super().__init__()
+        self.GLOBAL.OUTPUT_DIR = "logs/fcos_r50_1x"
+        self.GLOBAL.CKPT_SAVE_DIR = "logs/fcos_r50_1x/ckpt"

@@ -1,5 +1,4 @@
-"""RetinaNet R50-FPN 1x COCO (user config protocol —
-reference playground/examples/retinanet/res50_coco_800size_1x/config.py)."""
+"""RetinaNet R50-FPN 800px 1x (user config protocol — subclass and override)."""
 from basedet_tpu.configs import RetinaNetConfig
 
 

@@ -1,4 +1,4 @@
-"""YOLOX-S COCO 300e (north-star config)."""
+"""YOLOX-S 640px 300e (user config protocol — subclass and override)."""
 from basedet_tpu.configs import YOLOXSConfig
 
 
