@@ -30,46 +30,60 @@ class PointHead(nn.Module):
 
     @nn.compact
     def __call__(self, features: Sequence[jnp.ndarray]):
-        assert self.share_param, "per-level params not implemented yet"
         winit = nn.initializers.normal(0.01)
         bias_value = -math.log((1 - self.prior_prob) / self.prior_prob)
         C = features[0].shape[-1]
 
-        cls_convs = [
-            Conv(C, (3, 3), padding=1, kernel_init=winit, name=f"cls_subnet_{i}")
-            for i in range(self.num_convs)
-        ]
-        bbox_convs = [
-            Conv(C, (3, 3), padding=1, kernel_init=winit, name=f"bbox_subnet_{i}")
-            for i in range(self.num_convs)
-        ]
-        cls_norms = [
-            nn.GroupNorm(32, name=f"cls_gn_{i}") if self.with_norm else None
-            for i in range(self.num_convs)
-        ]
-        bbox_norms = [
-            nn.GroupNorm(32, name=f"bbox_gn_{i}") if self.with_norm else None
-            for i in range(self.num_convs)
-        ]
-        cls_score = Conv(
-            self.num_anchors * self.num_classes, (3, 3), padding=1,
-            kernel_init=winit, bias_init=nn.initializers.constant(bias_value),
-            name="cls_score",
-        )
-        bbox_pred = Conv(
-            self.num_anchors * 4, (3, 3), padding=1, kernel_init=winit,
-            name="bbox_pred",
-        )
-        ctrness_pred = Conv(
-            self.num_anchors, (3, 3), padding=1, kernel_init=winit,
-            name="ctrness",
-        )
+        def make_subnets(suffix: str):
+            cls_convs = [
+                Conv(C, (3, 3), padding=1, kernel_init=winit,
+                     name=f"cls_subnet{suffix}_{i}")
+                for i in range(self.num_convs)
+            ]
+            bbox_convs = [
+                Conv(C, (3, 3), padding=1, kernel_init=winit,
+                     name=f"bbox_subnet{suffix}_{i}")
+                for i in range(self.num_convs)
+            ]
+            cls_norms = [
+                nn.GroupNorm(32, name=f"cls_gn{suffix}_{i}") if self.with_norm else None
+                for i in range(self.num_convs)
+            ]
+            bbox_norms = [
+                nn.GroupNorm(32, name=f"bbox_gn{suffix}_{i}") if self.with_norm else None
+                for i in range(self.num_convs)
+            ]
+            cls_score = Conv(
+                self.num_anchors * self.num_classes, (3, 3), padding=1,
+                kernel_init=winit, bias_init=nn.initializers.constant(bias_value),
+                name=f"cls_score{suffix}",
+            )
+            bbox_pred = Conv(
+                self.num_anchors * 4, (3, 3), padding=1, kernel_init=winit,
+                name=f"bbox_pred{suffix}",
+            )
+            ctrness_pred = Conv(
+                self.num_anchors, (3, 3), padding=1, kernel_init=winit,
+                name=f"ctrness{suffix}",
+            )
+            return (cls_convs, bbox_convs, cls_norms, bbox_norms,
+                    cls_score, bbox_pred, ctrness_pred)
+
+        # share_param=False gives every pyramid level its own subnet params
+        # (reference point_head.py:17-151 supports both via cfg SHARE_PARAM)
+        if self.share_param:
+            shared = make_subnets("")
+            subnets = [shared] * len(self.strides)
+        else:
+            subnets = [make_subnets(f"_l{lv}") for lv in range(len(self.strides))]
         scales = self.param(
             "scales", lambda rng: jnp.ones((len(self.strides),), jnp.float32)
         )
 
         logits, offsets, ctrness = [], [], []
         for lv, (feat, stride) in enumerate(zip(features, self.strides)):
+            (cls_convs, bbox_convs, cls_norms, bbox_norms,
+             cls_score, bbox_pred, ctrness_pred) = subnets[lv]
             c = feat
             for conv, norm in zip(cls_convs, cls_norms):
                 c = conv(c)

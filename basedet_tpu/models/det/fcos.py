@@ -54,6 +54,7 @@ class FCOSModule(nn.Module):
     head_num_convs: int = 4
     prior_prob: float = 0.01
     with_norm: bool = True
+    share_param: bool = True
     decode_mode: str = "relu_scale"
     train: bool = False
 
@@ -88,6 +89,7 @@ class FCOSModule(nn.Module):
             num_convs=self.head_num_convs,
             prior_prob=self.prior_prob,
             with_norm=self.with_norm,
+            share_param=self.share_param,
             decode_mode=self.decode_mode,
             name="head",
         )(features)
@@ -120,6 +122,7 @@ class FCOS(BaseNet):
             head_num_convs=m.HEAD.NUM_CONVS,
             prior_prob=m.HEAD.CLS_PRIOR_PROB,
             with_norm=m.HEAD.get("WITH_NORM", True),
+            share_param=m.HEAD.get("SHARE_PARAM", True),
             train=train,
         )
 

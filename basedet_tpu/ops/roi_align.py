@@ -158,6 +158,9 @@ def _roi_align_levels(
     w10 = (ly * w_y)[:, :, None, :, None] * ((1 - lx) * w_x)[:, None, :, None, :]
     w11 = (ly * w_y)[:, :, None, :, None] * (lx * w_x)[:, None, :, None, :]
 
+    # keep the gather/scatter path in the features' (bf16) dtype — fp32
+    # weights would promote it and double the HBM traffic of the backward
+    # scatter-add, the dominant cost of two-stage training
     out = jnp.zeros((R, ph, pw, S, S, C), dtype)
     for (yi, xi, w) in (
         (y_lo, x_lo, w00),
@@ -166,7 +169,7 @@ def _roi_align_levels(
         (y_hi, x_hi, w11),
     ):
         vals = table[flat(yi, xi).reshape(-1)].reshape(R, ph, pw, S, S, C)
-        out = out + vals * w[..., None]
+        out = out + vals * w[..., None].astype(dtype)
 
     return out.mean(axis=(3, 4))  # average over S×S samples → (R, ph, pw, C)
 
