@@ -38,6 +38,7 @@ _FCOS_CONFIG = dict(
                 [512, float("inf")],
             ],
             CENTER_SAMPLING_RADIUS=1.5,
+            SHARE_PARAM=True,
         ),
     ),
 )

@@ -188,4 +188,15 @@ def _merge_opts(dst: ConfigDict, opts: Iterable[str]) -> None:
             if p not in node or not isinstance(node[p], Mapping):
                 node[p] = ConfigDict()
             node = node[p]
+        if parts[-1] not in node:
+            # new keys are allowed (reference merge semantics) but a typo'd
+            # override is otherwise invisible — surface it
+            import logging
+
+            logging.getLogger("basedet").warning(
+                "config override created NEW key %r — check for typos "
+                "(existing siblings: %s)",
+                key,
+                ", ".join(sorted(map(str, node))[:8]) or "<none>",
+            )
         node[parts[-1]] = _parse_literal(raw)
