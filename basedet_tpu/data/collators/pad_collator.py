@@ -6,15 +6,19 @@ SIZE BUCKET (smallest multiple-of-32 bucket that fits the batch max, from a
 fixed ladder) so that jit sees a small closed set of shapes instead of
 arbitrary batch-max sizes; gt pads to a fixed MAX_INSTANCES.
 
-Batch dict: data (B, H, W, 3) f32, gt_boxes (B, K, 5) [x1 y1 x2 y2 label],
-im_info (B, 5) [cur_h, cur_w, orig_h, orig_w, num_instances]
-(row layout matches pad_collator.py:48).
+Batch dict: data (B, H, W, 3) uint8-or-f32 (dtype follows the transform
+outputs; uint8 ships to the device 4x cheaper and is cast on-chip),
+gt_boxes (B, K, 5) [x1 y1 x2 y2 label], im_info (B, 5)
+[cur_h, cur_w, orig_h, orig_w, num_instances]
+(row layout matches pad_collator.py:48), mask (B, H, W) uint8 for DETR.
 """
 from __future__ import annotations
 
 from typing import List, Optional, Sequence, Tuple
 
 import numpy as np
+
+from basedet_tpu.native.pack import CanvasRing, pack_images
 
 
 def _round32(x: int) -> int:
@@ -46,6 +50,7 @@ class DetectionPadCollator:
         )
         self.pad_value = pad_value
         self.with_mask = with_mask  # DETR: emit per-pixel valid mask
+        self._ring = CanvasRing()
 
     def __call__(self, records: List[dict]) -> dict:
         B = len(records)
@@ -54,18 +59,20 @@ class DetectionPadCollator:
         H, W = pick_bucket(max_h, max_w, self.size_buckets)
         K = self.max_instances
 
-        data = np.full((B, H, W, 3), self.pad_value, np.float32)
+        # fused native pack (C++, basedet_tpu/native); uint8 inputs stay
+        # uint8 so the host->TPU transfer is 4x smaller — models cast to
+        # the compute dtype on device (data_to_input)
+        data, masks = pack_images(
+            [np.asarray(r["image"]) for r in records],
+            H, W, self.pad_value, with_mask=self.with_mask, ring=self._ring,
+        )
         gt = np.zeros((B, K, 5), np.float32)
         info = np.zeros((B, 5), np.float32)
         image_ids = []
-        masks = np.zeros((B, H, W), np.float32) if self.with_mask else None
 
         for b, r in enumerate(records):
             img = r["image"]
             h, w = img.shape[:2]
-            data[b, :h, :w] = img
-            if masks is not None:
-                masks[b, :h, :w] = 1.0
             boxes = r.get("boxes", np.zeros((0, 4), np.float32))
             labels = r.get("labels", np.zeros((0,), np.int32))
             n = min(len(boxes), K)

@@ -106,7 +106,8 @@ class DETR(BaseNet):
     def _prepare(self, batch, train):
         inputs = self.pre_process(batch, train=train)
         if "mask" in batch:
-            inputs["mask"] = jnp.asarray(batch["mask"])
+            # collator emits uint8; module math wants f32
+            inputs["mask"] = jnp.asarray(batch["mask"], jnp.float32)
         else:
             # valid-region mask from im_info (1 = valid pixel)
             B, H, W = (

@@ -117,7 +117,8 @@ class YOLOX(BaseNet):
     def resize_batch(self, batch, target_size: Tuple[int, int]):
         """On-device bilinear resize of images + gt boxes to target_size
         (yolox.py:71-98). Call outside jit with a static size, or bucket-jit."""
-        images = jnp.asarray(batch["data"])
+        # f32 before resize: bilinear on uint8 would round per-pixel
+        images = jnp.asarray(batch["data"]).astype(jnp.float32)
         h, w = images.shape[1:3]
         th, tw = target_size
         if (h, w) == (th, tw):

@@ -1,0 +1,129 @@
+"""numpy-facing wrapper for the native batch-pack op, with pure-numpy
+fallback (so the data pipeline works identically without a C++ toolchain).
+"""
+from __future__ import annotations
+
+import ctypes
+from typing import List, Optional, Tuple
+
+import numpy as np
+
+from basedet_tpu.native.build import load
+
+
+def _pack_numpy(images, H, W, pad, out_dtype, with_mask, ring=None):
+    B = len(images)
+    C = images[0].shape[2] if B else 3
+    if ring is not None:
+        data = ring.get((B, H, W, C), out_dtype)
+        data[...] = pad
+        mask = None
+        if with_mask:
+            mask = ring.get((B, H, W), np.uint8)
+            mask[...] = 0
+    else:
+        data = np.full((B, H, W, C), pad, out_dtype)
+        mask = np.zeros((B, H, W), np.uint8) if with_mask else None
+    for b, img in enumerate(images):
+        h, w = img.shape[:2]
+        data[b, :h, :w] = img
+        if mask is not None:
+            mask[b, :h, :w] = 1
+    return data, mask
+
+
+class CanvasRing:
+    """Small ring of reusable output canvases.
+
+    A fresh (B, H, W, C) allocation every batch costs more in page faults
+    than the pack itself; reusing mapped pages roughly halves collation
+    time. Depth 4 keeps a canvas alive well past the device transfer of
+    the step that produced it (the trainer's prefetch queue is depth 2),
+    so the producer never scribbles over a buffer mid-upload.
+    """
+
+    def __init__(self, depth: int = 4):
+        self.depth = depth
+        self._slots = {}
+        self._idx = {}
+
+    def get(self, shape, dtype) -> np.ndarray:
+        key = (tuple(shape), np.dtype(dtype))
+        ring = self._slots.setdefault(key, [])
+        if len(ring) < self.depth:
+            ring.append(np.empty(shape, dtype))
+            return ring[-1]
+        i = self._idx.get(key, 0)
+        self._idx[key] = (i + 1) % self.depth
+        return ring[i]
+
+
+def pack_images(
+    images: List[np.ndarray],
+    H: int,
+    W: int,
+    pad: float = 0.0,
+    with_mask: bool = False,
+    ring: Optional[CanvasRing] = None,
+) -> Tuple[np.ndarray, Optional[np.ndarray]]:
+    """Pack variable-size HWC images into one (B, H, W, C) canvas padded
+    with ``pad`` (top-left anchored), optionally emitting a (B, H, W) uint8
+    valid mask. Output dtype follows the inputs (uint8 stays uint8 — the
+    device casts, keeping host->TPU transfers 4x smaller than f32).
+    """
+    B = len(images)
+    if B == 0:
+        return np.zeros((0, H, W, 3), np.float32), (
+            np.zeros((0, H, W), np.uint8) if with_mask else None
+        )
+    dtype = images[0].dtype
+    if not all(i.dtype == dtype for i in images):
+        dtype = np.dtype(np.float32)
+    if dtype == np.uint8 and not (0 <= pad <= 255 and float(pad).is_integer()):
+        dtype = np.dtype(np.float32)
+    if dtype not in (np.dtype(np.uint8), np.dtype(np.float32)):
+        dtype = np.dtype(np.float32)
+
+    lib = load()
+    if lib is None:
+        return _pack_numpy(images, H, W, pad, dtype, with_mask, ring)
+
+    C = images[0].shape[2]
+    images = [
+        np.ascontiguousarray(i if i.dtype == dtype else i.astype(dtype))
+        for i in images
+    ]
+    if any(i.ndim != 3 or i.shape[2] != C or i.shape[0] > H or i.shape[1] > W
+           for i in images):
+        return _pack_numpy(images, H, W, pad, dtype, with_mask, ring)
+
+    if ring is not None:
+        out = ring.get((B, H, W, C), dtype)
+        mask = ring.get((B, H, W), np.uint8) if with_mask else None
+    else:
+        out = np.empty((B, H, W, C), dtype)
+        mask = np.empty((B, H, W), np.uint8) if with_mask else None
+    hw = np.asarray([[i.shape[0], i.shape[1]] for i in images], np.int32)
+    ptrs = (ctypes.c_void_p * B)(
+        *[i.ctypes.data_as(ctypes.c_void_p).value for i in images]
+    )
+    mask_ptr = (
+        mask.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8))
+        if mask is not None
+        else ctypes.cast(None, ctypes.POINTER(ctypes.c_uint8))
+    )
+    if dtype == np.uint8:
+        rc = lib.pack_batch_u8(
+            ptrs, hw.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)),
+            B, H, W, C, int(pad),
+            out.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)), mask_ptr,
+        )
+    else:
+        rc = lib.pack_batch_f32(
+            ptrs, hw.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)),
+            B, H, W, C, float(pad),
+            out.ctypes.data_as(ctypes.POINTER(ctypes.c_float)), mask_ptr,
+        )
+    if rc != 0:
+        return _pack_numpy(images, H, W, pad, dtype, with_mask, ring)
+    return out, mask
