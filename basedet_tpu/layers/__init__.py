@@ -3,6 +3,7 @@ from .backbone.build import build_backbone_module
 from .backbone.yolo_fpn import YOLOFPN
 from .backbone.yolo_pafpn import YOLOPAFPN
 from .blocks.deformable import DeformConv, ModulatedDeformConv
+from .blocks.pool import caffe_pooling_2d
 from .blocks.transformer import MLP, Transformer, sine_position_embedding
 from .blocks.yolo_block import Bottleneck, CSPLayer, DepthwiseConvBlock, Focus, SPPBottleneck
 from .head.center_head import CenterHead, CenternetDeconv
