@@ -37,9 +37,12 @@ class SimpleHookList:
             LoggerHook(log_interval=cfg.GLOBAL.get("LOG_INTERVAL", 20)),
         ]
         if cfg.GLOBAL.TENSORBOARD.get("ENABLE", False):
-            hooks.append(
-                TensorboardHook(os.path.join(cfg.GLOBAL.OUTPUT_DIR, "tb"))
-            )
+            tb_dir = os.path.join(cfg.GLOBAL.OUTPUT_DIR, "tb")
+            hooks.append(TensorboardHook(tb_dir))
+            if cfg.GLOBAL.TENSORBOARD.get("LOG_IMAGES", False):
+                from .hooks import TBDetectionImageHook
+
+                hooks.append(TBDetectionImageHook(tb_dir))
         hooks.append(
             OrbaxCheckpointHook(ckpt_dir) if use_orbax
             else CheckpointHook(ckpt_dir)

@@ -279,6 +279,75 @@ class TensorboardHook(BaseHook):
             self.writer.close()
 
 
+@registers.hooks.register()
+class TBDetectionImageHook(BaseHook):
+    """Per-epoch TensorBoard images of the model's current detections on the
+    last training batch (extension beyond the reference, which only wrote
+    scalars — hooks.py:363-402; rendering via visualize_detection,
+    coco_eval.py:24-68). Enable with GLOBAL.TENSORBOARD.LOG_IMAGES."""
+
+    def __init__(self, log_dir: str, max_images: int = 2,
+                 score_threshold: float = 0.3):
+        self.log_dir = log_dir
+        self.max_images = max_images
+        self.score_threshold = score_threshold
+        self.writer = None
+
+    def before_train(self):
+        from tensorboardX import SummaryWriter
+
+        os.makedirs(self.log_dir, exist_ok=True)
+        self.writer = SummaryWriter(self.log_dir)
+
+    def after_epoch(self):
+        import numpy as np
+
+        from basedet_tpu.evaluators.visualize import visualize_detection
+
+        t = self.trainer
+        batch = getattr(t, "last_batch", None)
+        if batch is None or self.writer is None:
+            return
+        n = min(self.max_images, int(np.asarray(batch["data"]).shape[0]))
+        small = {
+            k: np.asarray(v)[:n]
+            for k, v in batch.items()
+            if hasattr(v, "shape") and np.asarray(v).ndim >= 1
+        }
+        dets = t.model.inference(t.state.variables(), small)
+        boxes = np.asarray(dets["boxes"])
+        scores = np.asarray(dets["box_scores"])
+        labels = np.asarray(dets["box_labels"])
+        valid = np.asarray(dets.get("valid", scores > 0))
+        step = t.progress.current_iter
+        for b in range(n):
+            img = np.asarray(small["data"][b])
+            if img.dtype != np.uint8:
+                img = np.clip(img, 0, 255).astype(np.uint8)
+            keep = valid[b].astype(bool)
+            rows = np.concatenate(
+                [boxes[b][keep], scores[b][keep, None], labels[b][keep, None]],
+                axis=1,
+            )
+            # detections are in original-image coords; the canvas is the
+            # padded training image — rescale back onto it
+            info = small["im_info"][b]
+            if info[2] > 0 and info[3] > 0:
+                s = [info[1] / info[3], info[0] / info[2]]
+                rows[:, :4] *= np.asarray([s[0], s[1], s[0], s[1]])
+            rendered = visualize_detection(
+                img, rows, score_threshold=self.score_threshold
+            )
+            self.writer.add_image(
+                f"detections/img{b}", rendered[..., ::-1], step,
+                dataformats="HWC",
+            )
+
+    def after_train(self):
+        if self.writer is not None:
+            self.writer.close()
+
+
 def jax_to_numpy(tree):
     import jax
 

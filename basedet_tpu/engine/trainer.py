@@ -124,6 +124,7 @@ class DetTrainer:
         if self.batch_mapper is not None:
             batch = self.batch_mapper(batch, self.progress.current_iter)
         batch = shard_batch(dict(batch), self.mesh)
+        self.last_batch = batch  # hooks (e.g. TB image logging) may inspect
         t1 = time.perf_counter()
         self.state, metrics = self._train_step(self.state, batch)
         # Steps dispatch asynchronously; materializing metrics is the sync
