@@ -17,7 +17,7 @@ import numpy as np
 
 from basedet_tpu.engine.progress import Progress
 from basedet_tpu.engine.train_state import TrainState, make_train_step
-from basedet_tpu.parallel import make_mesh, replicate_state, shard_batch
+from basedet_tpu.parallel import make_mesh, replicate_state, shard_batch, tp_context
 from basedet_tpu.utils import MeterBuffer, logger, registers
 
 
@@ -33,8 +33,18 @@ class DetTrainer:
         self.solver = solver
         self.meters = MeterBuffer(window_size=cfg.GLOBAL.get("LOG_INTERVAL", 20))
 
-        self.mesh = make_mesh()
-        self.world_size = self.mesh.devices.size
+        # optional tensor-parallel axis (TPU-native extension; the
+        # reference is DP-only, SURVEY §2.10): TRAINER.TP_SIZE splits the
+        # device pool into a (data, model) mesh and transformer blocks
+        # shard their activations over "model" (parallel/tp.py)
+        tp = int(cfg.TRAINER.get("TP_SIZE", 1))
+        n_dev = len(jax.devices())
+        if tp > 1:
+            assert n_dev % tp == 0, f"TP_SIZE {tp} does not divide {n_dev}"
+            self.mesh = make_mesh((("data", n_dev // tp), ("model", tp)))
+        else:
+            self.mesh = make_mesh()
+        self.world_size = self.mesh.shape.get("data", self.mesh.devices.size)
         self.global_batch_size = cfg.MODEL.BATCHSIZE * self.world_size
 
         max_iter = max(
@@ -89,6 +99,10 @@ class DetTrainer:
         self.state = replicate_state(state, self.mesh)
 
     def train(self):
+        with tp_context(self.mesh):
+            self._train_impl()
+
+    def _train_impl(self):
         if self.state is None:
             self.init_state()
         data_iter = iter(self.dataloader)

@@ -17,6 +17,8 @@ import jax
 import jax.numpy as jnp
 from flax import linen as nn
 
+from basedet_tpu.parallel.tp import tp_shard
+
 
 class MLP(nn.Module):
     """Simple FFN head (reference layers/blocks/mlp.py:9)."""
@@ -116,6 +118,10 @@ class EncoderLayer(nn.Module):
 
         def ffn(x):
             y = nn.Dense(self.dim_ffn, name="linear1")(x)
+            # TP: hidden dim split over the "model" axis — GSPMD turns the
+            # two Dense matmuls into column/row-parallel halves (no-op on
+            # DP-only meshes)
+            y = tp_shard(y, ("data", None, "model"))
             y = jax.nn.relu(y)
             y = nn.Dropout(self.dropout, deterministic=not self.train)(y)
             return nn.Dense(self.dim, name="linear2")(y)
@@ -162,6 +168,7 @@ class DecoderLayer(nn.Module):
 
         def ffn(x):
             y = nn.Dense(self.dim_ffn, name="linear1")(x)
+            y = tp_shard(y, ("data", None, "model"))
             y = jax.nn.relu(y)
             y = nn.Dropout(self.dropout, deterministic=not self.train)(y)
             return nn.Dense(self.dim, name="linear2")(y)
