@@ -51,46 +51,14 @@ def _iou_xywh(dt: np.ndarray, gt: np.ndarray, iscrowd: np.ndarray) -> np.ndarray
     return np.where(union > 0, inter / np.maximum(union, 1e-12), 0.0)
 
 
-def _eval_img(
-    dts: List[dict], gts: List[dict], area_rng, max_det: int
-) -> Optional[dict]:
-    """Per-(image, category) matching for all IoU thresholds at once."""
-    if len(dts) == 0 and len(gts) == 0:
-        return None
-    g_ignore = np.asarray(
-        [
-            1
-            if (
-                g.get("iscrowd", 0)
-                or g["area"] < area_rng[0]
-                or g["area"] > area_rng[1]
-            )
-            else 0
-            for g in gts
-        ],
-        np.int32,
-    )
-    # sort gts: non-ignored first (pycocotools gtind ordering)
-    g_order = np.argsort(g_ignore, kind="stable")
-    gts = [gts[i] for i in g_order]
-    g_ignore = g_ignore[g_order]
-
-    d_scores = np.asarray([d["score"] for d in dts])
-    d_order = np.argsort(-d_scores, kind="stable")[:max_det]
-    dts = [dts[i] for i in d_order]
-
-    g_boxes = np.asarray([g["bbox"] for g in gts], np.float64).reshape(-1, 4)
-    d_boxes = np.asarray([d["bbox"] for d in dts], np.float64).reshape(-1, 4)
-    iscrowd = np.asarray([g.get("iscrowd", 0) for g in gts], np.int32)
-    ious = _iou_xywh(d_boxes, g_boxes, iscrowd)
-
+def _match_python(ious, g_ignore, iscrowd):
+    """Greedy per-threshold matching (pycocotools evaluateImg loop); the
+    reference semantics — kept as the oracle/fallback for the C++ matcher."""
     T = len(IOU_THRS)
-    D = len(dts)
-    G = len(gts)
+    D, G = ious.shape
     dt_m = np.zeros((T, D), np.int64)       # matched gt index + 1, 0 = unmatched
     gt_m = np.zeros((T, G), np.int64)
     dt_ig = np.zeros((T, D), np.int32)
-
     for t, thr in enumerate(IOU_THRS):
         for d in range(D):
             best_iou = min(thr, 1 - 1e-10)
@@ -111,21 +79,168 @@ def _eval_img(
             dt_ig[t, d] = g_ignore[best_g]
             dt_m[t, d] = best_g + 1
             gt_m[t, best_g] = d + 1
+    return dt_m, gt_m, dt_ig
+
+
+def _match(ious, g_ignore, iscrowd):
+    """C++ matcher (basedet_tpu/native) with Python fallback."""
+    import ctypes
+
+    from basedet_tpu.native.build import load
+
+    lib = load()
+    if lib is None:
+        return _match_python(ious, g_ignore, iscrowd)
+    T = len(IOU_THRS)
+    D, G = ious.shape
+    dt_m = np.zeros((T, D), np.int64)
+    gt_m = np.zeros((T, G), np.int64)
+    dt_ig = np.zeros((T, D), np.int32)
+    ious_c = np.ascontiguousarray(ious, np.float64)
+    gi = np.ascontiguousarray(g_ignore, np.int32)
+    ic = np.ascontiguousarray(iscrowd, np.int32)
+    thrs = np.ascontiguousarray(IOU_THRS, np.float64)
+    f64p = ctypes.POINTER(ctypes.c_double)
+    i32p = ctypes.POINTER(ctypes.c_int32)
+    i64p = ctypes.POINTER(ctypes.c_int64)
+    rc = lib.match_dets(
+        ious_c.ctypes.data_as(f64p), gi.ctypes.data_as(i32p),
+        ic.ctypes.data_as(i32p), D, G, thrs.ctypes.data_as(f64p), T,
+        dt_m.ctypes.data_as(i64p), gt_m.ctypes.data_as(i64p),
+        dt_ig.ctypes.data_as(i32p),
+    )
+    if rc != 0:
+        return _match_python(ious, g_ignore, iscrowd)
+    return dt_m, gt_m, dt_ig
+
+
+def _prep_pair(dts: List[dict], gts: List[dict], max_det: int) -> Optional[dict]:
+    """Area-independent work for one (image, category): score-sort dets,
+    compute the crowd-adjusted IoU matrix ONCE (pycocotools computes IoU per
+    (img, cat) and reuses it across area ranges too)."""
+    if len(dts) == 0 and len(gts) == 0:
+        return None
+    d_scores = np.asarray([d["score"] for d in dts])
+    d_order = np.argsort(-d_scores, kind="stable")[:max_det]
+    d_boxes = np.asarray(
+        [dts[i]["bbox"] for i in d_order], np.float64
+    ).reshape(-1, 4)
+    g_boxes = np.asarray([g["bbox"] for g in gts], np.float64).reshape(-1, 4)
+    iscrowd = np.asarray([g.get("iscrowd", 0) for g in gts], np.int32)
+    return dict(
+        d_scores=d_scores[d_order],
+        d_areas=d_boxes[:, 2] * d_boxes[:, 3],
+        g_areas=np.asarray([g["area"] for g in gts], np.float64),
+        iscrowd=iscrowd,
+        ious=_iou_xywh(d_boxes, g_boxes, iscrowd),
+    )
+
+
+def _eval_prepped(p: Optional[dict], area_rng) -> Optional[dict]:
+    """Per-area matching over a prepped (image, category) pair."""
+    if p is None:
+        return None
+    g_ignore = (
+        (p["iscrowd"] > 0)
+        | (p["g_areas"] < area_rng[0])
+        | (p["g_areas"] > area_rng[1])
+    ).astype(np.int32)
+    # sort gts: non-ignored first (pycocotools gtind ordering)
+    g_order = np.argsort(g_ignore, kind="stable")
+    g_ignore = g_ignore[g_order]
+    iscrowd = p["iscrowd"][g_order]
+    ious = p["ious"][:, g_order] if g_order.size else p["ious"]
+
+    dt_m, gt_m, dt_ig = _match(ious, g_ignore, iscrowd)
 
     # unmatched detections outside the area range are ignored
-    d_areas = d_boxes[:, 2] * d_boxes[:, 3]
-    out_of_rng = (d_areas < area_rng[0]) | (d_areas > area_rng[1])
+    out_of_rng = (p["d_areas"] < area_rng[0]) | (p["d_areas"] > area_rng[1])
     dt_ig = np.logical_or(
         dt_ig, (dt_m == 0) & out_of_rng[None, :]
     ).astype(np.int32)
 
     return dict(
-        dt_scores=np.asarray([d["score"] for d in dts]),
+        dt_scores=p["d_scores"],
         dt_matches=dt_m,
         dt_ignore=dt_ig,
         gt_ignore=g_ignore,
         num_gt=int(np.sum(g_ignore == 0)),
     )
+
+
+def _eval_img(
+    dts: List[dict], gts: List[dict], area_rng, max_det: int
+) -> Optional[dict]:
+    """Per-(image, category) matching for all IoU thresholds at once."""
+    return _eval_prepped(_prep_pair(dts, gts, max_det), area_rng)
+
+
+def _eval_areas_batched(keys, preps, area_names) -> Optional[Dict]:
+    """All pairs x all areas in 4 native calls (native_ops.cpp
+    coco_match_area). Returns None when the native lib is unavailable or a
+    pair exceeds its gt capacity, and the caller uses the per-pair path."""
+    import ctypes
+
+    from basedet_tpu.native.build import load
+
+    lib = load()
+    if lib is None or not preps:
+        return None
+    n = len(preps)
+    D = np.asarray([len(p["d_scores"]) for p in preps], np.int64)
+    G = np.asarray([len(p["g_areas"]) for p in preps], np.int64)
+    if int(G.max(initial=0)) > 1024:
+        return None
+    d_off = np.zeros(n, np.int64)
+    g_off = np.zeros(n, np.int64)
+    iou_off = np.zeros(n, np.int64)
+    np.cumsum(D[:-1], out=d_off[1:])
+    np.cumsum(G[:-1], out=g_off[1:])
+    np.cumsum((D * G)[:-1], out=iou_off[1:])
+
+    ious = np.concatenate(
+        [p["ious"].reshape(-1) for p in preps]
+    ).astype(np.float64, copy=False)
+    d_areas = np.concatenate([p["d_areas"] for p in preps]).astype(np.float64)
+    g_areas = np.concatenate([p["g_areas"] for p in preps]).astype(np.float64)
+    iscrowd = np.concatenate([p["iscrowd"] for p in preps]).astype(np.int32)
+    thrs = np.ascontiguousarray(IOU_THRS, np.float64)
+    T = len(IOU_THRS)
+    total_d = int(D.sum())
+
+    f64p = ctypes.POINTER(ctypes.c_double)
+    i64p = ctypes.POINTER(ctypes.c_int64)
+    i32p = ctypes.POINTER(ctypes.c_int32)
+    i8p = ctypes.POINTER(ctypes.c_int8)
+
+    out: Dict = {}
+    for a_name in area_names:
+        lo, hi = AREA_RANGES[a_name]
+        dt_matched = np.empty(T * total_d, np.int8)
+        dt_ignore = np.empty(T * total_d, np.int8)
+        num_gt = np.empty(n, np.int64)
+        rc = lib.coco_match_area(
+            n, D.ctypes.data_as(i64p), G.ctypes.data_as(i64p),
+            iou_off.ctypes.data_as(i64p), d_off.ctypes.data_as(i64p),
+            g_off.ctypes.data_as(i64p), ious.ctypes.data_as(f64p),
+            d_areas.ctypes.data_as(f64p), g_areas.ctypes.data_as(f64p),
+            iscrowd.ctypes.data_as(i32p), float(lo), float(hi),
+            thrs.ctypes.data_as(f64p), T,
+            dt_matched.ctypes.data_as(i8p), dt_ignore.ctypes.data_as(i8p),
+            num_gt.ctypes.data_as(i64p),
+        )
+        if rc != 0 or (num_gt < 0).any():
+            return None
+        for i, (cat, img) in enumerate(keys):
+            d_n = int(D[i])
+            s, e = T * int(d_off[i]), T * int(d_off[i]) + T * d_n
+            out[(cat, a_name, img)] = dict(
+                dt_scores=preps[i]["d_scores"],
+                dt_matches=dt_matched[s:e].reshape(T, d_n),
+                dt_ignore=dt_ignore[s:e].reshape(T, d_n),
+                num_gt=int(num_gt[i]),
+            )
+    return out
 
 
 def evaluate_coco_map(
@@ -145,16 +260,31 @@ def evaluate_coco_map(
     R = len(RECALL_THRS)
     results: Dict[str, float] = {}
 
-    # evaluate every (cat, area, img) once at maxDet=100 and slice later
+    # evaluate every (cat, area, img) once at maxDet=100 and slice later;
+    # dets/IoUs are prepped once per (img, cat) and shared across areas
     area_names = list(AREA_RANGES)
-    eval_imgs = {}
+    keys, preps = [], []
     for cat in cat_labels:
-        for a_name in area_names:
-            for img in img_ids:
-                gts = gt_by_img_cat.get((img, cat), [])
-                dts = dt_by_img_cat.get((img, cat), [])
-                e = _eval_img(dts, gts, AREA_RANGES[a_name], max(MAX_DETS))
-                eval_imgs[(cat, a_name, img)] = e
+        for img in img_ids:
+            gts = gt_by_img_cat.get((img, cat), [])
+            dts = dt_by_img_cat.get((img, cat), [])
+            p = _prep_pair(dts, gts, max(MAX_DETS))
+            if p is not None:
+                keys.append((cat, img))
+                preps.append(p)
+    eval_imgs = {
+        (cat, a_name, img): None
+        for cat in cat_labels for a_name in area_names for img in img_ids
+    }
+    batched = _eval_areas_batched(keys, preps, area_names)
+    if batched is not None:
+        eval_imgs.update(batched)
+    else:
+        for (cat, img), p in zip(keys, preps):
+            for a_name in area_names:
+                eval_imgs[(cat, a_name, img)] = _eval_prepped(
+                    p, AREA_RANGES[a_name]
+                )
 
     def accumulate(a_name: str, max_det: int):
         """precision (T, R, K) and recall (T, K) for this slice."""
@@ -189,16 +319,12 @@ def evaluate_coco_map(
                 rc = tp / num_gt
                 pr = tp / np.maximum(tp + fp, np.finfo(np.float64).eps)
                 recalls[t, k] = rc[-1] if len(rc) else 0.0
-                # monotone envelope
-                pr = pr.tolist()
-                for i in range(len(pr) - 1, 0, -1):
-                    if pr[i] > pr[i - 1]:
-                        pr[i - 1] = pr[i]
+                # monotone envelope (right-to-left running max)
+                pr = np.maximum.accumulate(pr[::-1])[::-1]
                 inds = np.searchsorted(rc, RECALL_THRS, side="left")
+                valid = inds < len(pr)
                 q = np.zeros(R)
-                for ri, pi in enumerate(inds):
-                    if pi < len(pr):
-                        q[ri] = pr[pi]
+                q[valid] = pr[inds[valid]]
                 precisions[t, :, k] = q
         return precisions, recalls
 

@@ -1,6 +1,6 @@
 """Build-on-first-import for the native (C++) data-loader core.
 
-Compiles ``batch_pack.cpp`` with g++ into a shared library cached next to
+Compiles ``native_ops.cpp`` with g++ into a shared library cached next to
 the source (keyed by a source+flags hash, so edits rebuild and upgrades
 never load a stale binary). Compilation is atomic (temp file + rename) so
 concurrent data workers can race safely. Every caller must tolerate
@@ -16,7 +16,7 @@ import subprocess
 import tempfile
 from typing import Optional
 
-_SRC = os.path.join(os.path.dirname(__file__), "batch_pack.cpp")
+_SRC = os.path.join(os.path.dirname(__file__), "native_ops.cpp")
 _FLAGS = ["-O3", "-fPIC", "-shared", "-fopenmp", "-std=c++17"]
 _lib: Optional[ctypes.CDLL] = None
 _tried = False
@@ -29,7 +29,7 @@ def _target_path() -> str:
         "BASEDET_NATIVE_CACHE", os.path.join(os.path.dirname(_SRC), "_build")
     )
     os.makedirs(cache_dir, exist_ok=True)
-    return os.path.join(cache_dir, f"batch_pack-{digest}.so")
+    return os.path.join(cache_dir, f"native_ops-{digest}.so")
 
 
 def _compile(target: str) -> bool:
@@ -66,6 +66,20 @@ def _bind(lib: ctypes.CDLL) -> ctypes.CDLL:
     lib.pack_batch_f32.restype = ctypes.c_int
     lib.native_num_threads.argtypes = []
     lib.native_num_threads.restype = ctypes.c_int
+    f64p = ctypes.POINTER(ctypes.c_double)
+    i64p = ctypes.POINTER(ctypes.c_int64)
+    lib.match_dets.argtypes = [
+        f64p, i32p, i32p, ctypes.c_int64, ctypes.c_int64,
+        f64p, ctypes.c_int64, i64p, i64p, i32p,
+    ]
+    lib.match_dets.restype = ctypes.c_int
+    i8p = ctypes.POINTER(ctypes.c_int8)
+    lib.coco_match_area.argtypes = [
+        ctypes.c_int64, i64p, i64p, i64p, i64p, i64p,
+        f64p, f64p, f64p, i32p, ctypes.c_double, ctypes.c_double,
+        f64p, ctypes.c_int64, i8p, i8p, i64p,
+    ]
+    lib.coco_match_area.restype = ctypes.c_int
     return lib
 
 

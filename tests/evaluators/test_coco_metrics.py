@@ -98,3 +98,48 @@ def test_multiclass_mean():
     d = {(1, 1): [dt([0, 0, 10, 10], 0.9)]}
     r = evaluate_coco_map(g, d, [1], [1, 2])
     assert r["AP"] == pytest.approx(0.5)
+
+
+def test_native_batched_matches_python_fallback():
+    """The C++ coco_match_area path must reproduce the pure-Python
+    evaluation bit-for-bit across all 12 metrics (crowd gts included)."""
+    import numpy as np
+
+    import basedet_tpu.native.build as nb
+    from basedet_tpu.evaluators import coco_metrics as cm
+
+    rng = np.random.default_rng(7)
+    img_ids = list(range(40))
+    cats = list(range(1, 9))
+    gt, dt = {}, {}
+    for img in img_ids:
+        for _ in range(int(rng.integers(0, 6))):
+            c = int(rng.integers(1, 9))
+            x, y = rng.uniform(0, 300, 2)
+            w, h = rng.uniform(5, 150, 2)
+            gt.setdefault((img, c), []).append(
+                dict(bbox=[x, y, w, h], area=w * h,
+                     iscrowd=int(rng.random() < 0.1))
+            )
+            dt.setdefault((img, c), []).append(
+                dict(bbox=[x + rng.uniform(-3, 3), y, w, h],
+                     score=float(rng.random()), area=w * h)
+            )
+        for _ in range(int(rng.integers(0, 20))):
+            c = int(rng.integers(1, 9))
+            x, y = rng.uniform(0, 300, 2)
+            w, h = rng.uniform(5, 150, 2)
+            dt.setdefault((img, c), []).append(
+                dict(bbox=[x, y, w, h], score=float(rng.random()), area=w * h)
+            )
+
+    res_native = cm.evaluate_coco_map(gt, dt, img_ids, cats)
+    saved = nb._lib, nb._tried
+    try:
+        nb._lib, nb._tried = None, True  # force the Python fallback
+        res_py = cm.evaluate_coco_map(gt, dt, img_ids, cats)
+    finally:
+        nb._lib, nb._tried = saved
+    assert res_native.keys() == res_py.keys()
+    for k in res_py:
+        assert abs(res_py[k] - res_native[k]) < 1e-12, k
