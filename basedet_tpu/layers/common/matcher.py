@@ -220,7 +220,22 @@ def hungarian_match_owner(
     prices = jnp.zeros((Q,))
     q_of_k = jnp.full((K,), -1, jnp.int32)
     k_of_q = jnp.full((Q,), -1, jnp.int32)
-    _, q_of_k, _ = jax.lax.fori_loop(
-        0, n_iters, body, (prices, q_of_k, k_of_q)
+
+    # while_loop with early exit: once every target owns a query, bids are
+    # all zero and further iterations are no-ops — stopping there returns
+    # the IDENTICAL assignment to running all n_iters (only unassigned
+    # targets bid). Auction typically converges in ~K-2K rounds, so this
+    # cuts the sequential critical path several-fold on TPU.
+    def cond(state):
+        i, _, q_of_k, _ = state
+        return (i < n_iters) & jnp.any(q_of_k < 0)
+
+    def wbody(state):
+        i, prices, q_of_k, k_of_q = state
+        prices, q_of_k, k_of_q = body(i, (prices, q_of_k, k_of_q))
+        return i + 1, prices, q_of_k, k_of_q
+
+    _, _, q_of_k, _ = jax.lax.while_loop(
+        cond, wbody, (jnp.asarray(0, jnp.int32), prices, q_of_k, k_of_q)
     )
     return q_of_k

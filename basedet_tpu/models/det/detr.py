@@ -221,18 +221,25 @@ class DETR(BaseNet):
         coef = dict(ce=lcfg.CE_LOSS_COEF, bbox=lcfg.BBOX_LOSS_COEF,
                     giou=lcfg.GIOU_LOSS_COEF)
         losses: Dict[str, jnp.ndarray] = {}
-        total = 0.0
         n_layers = logits_all.shape[0]
-        layers_used = range(n_layers) if lcfg.AUX_LOSS else [n_layers - 1]
-        for li in layers_used:
-            ce, bbox, giou = self._layer_losses(
-                logits_all[li], coords_all[li], tgt_boxes, tgt_cls,
-                tgt_valid, num_boxes,
+        if not lcfg.AUX_LOSS:
+            logits_all = logits_all[-1:]
+            coords_all = coords_all[-1:]
+        # vmap the per-decoder-layer losses over the layer axis: the L
+        # auction matchings (reference runs scipy per aux layer,
+        # detr.py:178-221) proceed in PARALLEL instead of 6 sequential
+        # 300-round loops — the matching was ~95% of DETR's step time
+        ce_l, bbox_l, giou_l = jax.vmap(
+            lambda lg, co: self._layer_losses(
+                lg, co, tgt_boxes, tgt_cls, tgt_valid, num_boxes
             )
-            total = total + coef["ce"] * ce + coef["bbox"] * bbox + coef["giou"] * giou
-            if li == n_layers - 1:
-                losses.update(loss_ce=ce, loss_bbox=bbox, loss_giou=giou)
-
+        )(logits_all, coords_all)
+        total = jnp.sum(
+            coef["ce"] * ce_l + coef["bbox"] * bbox_l + coef["giou"] * giou_l
+        )
+        losses.update(
+            loss_ce=ce_l[-1], loss_bbox=bbox_l[-1], loss_giou=giou_l[-1]
+        )
         losses["total_loss"] = total
         return total, losses, {}
 
