@@ -18,30 +18,51 @@ from basedet_tpu.layers.precision import Conv, Dense
 
 
 def _bilinear_sample(img: jnp.ndarray, y: jnp.ndarray, x: jnp.ndarray) -> jnp.ndarray:
-    """img (H, W, C); y/x (...,) float coords. Zero padding outside."""
+    """img (H, W, C); y/x (...,) float coords. Zero padding outside.
+
+    Block-gather formulation: the 2x2 corner block of every sample is ONE
+    gathered (4C)-wide row from a zero-padded block table — TPU gather cost
+    scales with row count, so this is ~4x fewer rows than per-corner
+    gathers (same trick as ops/roi_align.py; measured there). Zero padding
+    reproduces the per-corner inside-mask semantics exactly for anchors in
+    [-1, H]; anchors clamped from farther out are killed by ``valid``.
+    """
     H, W, C = img.shape
     y0 = jnp.floor(y)
     x0 = jnp.floor(x)
-    wy = y - y0
-    wx = x - x0
+    wy = (y - y0).astype(img.dtype)
+    wx = (x - x0).astype(img.dtype)
 
-    def tap(yy, xx):
-        inside = (yy >= 0) & (yy < H) & (xx >= 0) & (xx < W)
-        yy_c = jnp.clip(yy, 0, H - 1).astype(jnp.int32)
-        xx_c = jnp.clip(xx, 0, W - 1).astype(jnp.int32)
-        vals = img[yy_c, xx_c]  # (..., C)
-        return jnp.where(inside[..., None], vals, 0.0)
+    fp = jnp.pad(img, ((1, 1), (1, 1), (0, 0)))  # zeros — (H+2, W+2, C)
+    blk = jnp.concatenate(
+        [
+            fp[: H + 1, : W + 1],
+            fp[: H + 1, 1 : W + 2],
+            fp[1 : H + 2, : W + 1],
+            fp[1 : H + 2, 1 : W + 2],
+        ],
+        axis=-1,
+    ).reshape((H + 1) * (W + 1), 4 * C)
 
-    v00 = tap(y0, x0)
-    v01 = tap(y0, x0 + 1)
-    v10 = tap(y0 + 1, x0)
-    v11 = tap(y0 + 1, x0 + 1)
-    return (
-        v00 * ((1 - wy) * (1 - wx))[..., None]
-        + v01 * ((1 - wy) * wx)[..., None]
-        + v10 * (wy * (1 - wx))[..., None]
-        + v11 * (wy * wx)[..., None]
-    )
+    ay = y0.astype(jnp.int32) + 1  # anchor in padded coords
+    ax = x0.astype(jnp.int32) + 1
+    valid = (ay >= 0) & (ay <= H) & (ax >= 0) & (ax <= W)
+    ayc = jnp.clip(ay, 0, H)
+    axc = jnp.clip(ax, 0, W)
+    flat = (ayc * (W + 1) + axc).reshape(-1)
+    shape = y.shape
+    v = blk[flat].reshape(*shape, 4, C)
+
+    w = jnp.stack(
+        [
+            (1 - wy) * (1 - wx),
+            (1 - wy) * wx,
+            wy * (1 - wx),
+            wy * wx,
+        ],
+        axis=-1,
+    ) * valid.astype(img.dtype)[..., None]  # (..., 4)
+    return jnp.einsum("...k,...kc->...c", w, v)
 
 
 class ModulatedDeformConv(nn.Module):
