@@ -21,7 +21,7 @@ from flax import linen as nn
 
 from basedet_tpu.layers.head.center_head import CenterHead, CenternetDeconv
 from basedet_tpu.models.base_net import BaseNet
-from basedet_tpu.models.cls.resnet import ResNet
+from basedet_tpu.layers.backbone.build import make_backbone
 from basedet_tpu.structures.box_ops import clip_boxes
 from basedet_tpu.utils import registers
 
@@ -56,13 +56,12 @@ class CenterNetModule(nn.Module):
 
         cfg = ConfigDict(unfreeze(self.cfg))
         m = cfg.MODEL
-        feats = ResNet(
-            arch=m.BACKBONE.NAME,
+        feats = make_backbone(
+            m.BACKBONE.NAME,
             norm=m.BACKBONE.NORM,
             freeze_at=m.BACKBONE.FREEZE_AT,
             out_features=("res5",),
             train=self.train,
-            name="bottom_up",
         )(image)
         up = CenternetDeconv(
             channels=tuple(m.HEAD.DECONV_CHANNEL),

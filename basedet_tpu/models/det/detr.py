@@ -27,7 +27,7 @@ from basedet_tpu.layers.blocks.transformer import (
 from basedet_tpu.layers.common.matcher import hungarian_match_owner
 from basedet_tpu.layers.losses import iou_loss
 from basedet_tpu.models.base_net import BaseNet
-from basedet_tpu.models.cls.resnet import ResNet
+from basedet_tpu.layers.backbone.build import make_backbone
 from basedet_tpu.structures import convert_boxes
 from basedet_tpu.structures.box_ops import clip_boxes
 from basedet_tpu.utils import registers
@@ -45,13 +45,12 @@ class DETRModule(nn.Module):
 
         cfg = ConfigDict(unfreeze(self.cfg))
         m = cfg.MODEL
-        feats = ResNet(
-            arch=m.BACKBONE.NAME,
+        feats = make_backbone(
+            m.BACKBONE.NAME,
             norm=m.BACKBONE.NORM,
             freeze_at=m.BACKBONE.FREEZE_AT,
             out_features=("res5",),
             train=self.train,
-            name="bottom_up",
         )(image)
         src = feats["res5"]
         B, H, W, _ = src.shape

@@ -26,7 +26,7 @@ from basedet_tpu.layers.head.rcnn import (
     rcnn_sample_single,
 )
 from basedet_tpu.models.base_net import BaseNet
-from basedet_tpu.models.cls.resnet import ResNet
+from basedet_tpu.layers.backbone.build import make_backbone
 from basedet_tpu.ops.nms import NEG_INF
 from basedet_tpu.ops.roi_align import multilevel_roi_align
 from basedet_tpu.structures import BoxCoder
@@ -54,13 +54,12 @@ class FasterRCNNModule(nn.Module):
 
         cfg = ConfigDict(unfreeze(self.cfg))
         m = cfg.MODEL
-        bottom_up = ResNet(
-            arch=m.BACKBONE.NAME,
+        bottom_up = make_backbone(
+            m.BACKBONE.NAME,
             norm=m.BACKBONE.NORM,
             freeze_at=m.BACKBONE.FREEZE_AT,
             out_features=tuple(m.BACKBONE.OUT_FEATURES),
             train=self.train,
-            name="bottom_up",
         )(image)
         feats = FPN(
             in_features=tuple(m.BACKBONE.OUT_FEATURES),

@@ -26,7 +26,7 @@ from basedet_tpu.layers.common.function import topk_scores
 from basedet_tpu.layers.head.retina_head import RetinaNetHead
 from basedet_tpu.layers.losses import sigmoid_focal_loss, smooth_l1_loss
 from basedet_tpu.models.base_net import BaseNet
-from basedet_tpu.models.cls.resnet import ResNet
+from basedet_tpu.layers.backbone.build import make_backbone
 from basedet_tpu.ops.nms import NEG_INF
 from basedet_tpu.structures import BoxCoder, box_iou
 from basedet_tpu.utils import registers
@@ -52,13 +52,12 @@ class RetinaNetModule(nn.Module):
 
     @nn.compact
     def __call__(self, image: jnp.ndarray):
-        bottom_up = ResNet(
-            arch=self.backbone_name,
+        bottom_up = make_backbone(
+            self.backbone_name,
             norm=self.backbone_norm,
             freeze_at=self.freeze_at,
             out_features=tuple(self.backbone_out_features),
             train=self.train,
-            name="bottom_up",
         )(image)
         feats = FPN(
             in_features=tuple(self.backbone_out_features),
