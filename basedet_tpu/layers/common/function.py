@@ -58,6 +58,64 @@ def masked_topk(
     return top_v, top_i, top_v > fill / 2
 
 
+def onehot_gather_rows(table: jnp.ndarray, idx: jnp.ndarray) -> jnp.ndarray:
+    """``table[idx]`` as a one-hot matmul: (K, D) table, (R,) int idx →
+    (R, D), with R >> K.
+
+    TPU gather cost scales with the number of gathered rows; R~10⁴-10⁵ tiny
+    rows per image (e.g. matched-GT lookup against a K≤~100 padded gt table)
+    serialize badly, while onehot(idx) @ table is a single MXU matmul.
+    Exact: each output row sums one 1.0·x (plus true zeros), so values are
+    bit-identical to the gather. f32 accumulation keeps int-valued columns
+    (labels) exact for K·x < 2²⁴.
+    """
+    K = table.shape[0]
+    onehot = jax.nn.one_hot(idx, K, dtype=jnp.float32)  # (R, K)
+    return jax.lax.dot_general(
+        onehot,
+        table.astype(jnp.float32),
+        (((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    ).astype(table.dtype)
+
+
+def onehot_pick_per_column(mat: jnp.ndarray, idx: jnp.ndarray) -> jnp.ndarray:
+    """``mat[idx[r], r] for r in range(R)`` without a scalar gather:
+    mat (K, R, *D), idx (R,) → (R, *D). Masked reduction over the small K
+    axis — one elementwise pass over mat instead of R independent scalar
+    picks (TPU gather cost scales with pick count)."""
+    K = mat.shape[0]
+    onehot = jax.nn.one_hot(idx, K, dtype=mat.dtype, axis=0)  # (K, R)
+    onehot = onehot.reshape(onehot.shape + (1,) * (mat.ndim - 2))
+    return jnp.sum(mat * onehot, axis=0)
+
+
+def extract_topk_mask(
+    values: jnp.ndarray, k: int
+) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """Per-row top-k by iterative argmax extraction: values (K, M) →
+    (top_values (K, k), membership mask (K, M)).
+
+    For small k this beats XLA TopK + index-scatter on TPU by ~10x
+    (measured in SimOTA matching): k reduction+select passes instead of a
+    row sort and a serialized scatter. Tie-break = lowest index, same as
+    lax.top_k. Rows must have ≥ k finite entries."""
+    K, M = values.shape
+    col = jax.lax.broadcasted_iota(jnp.int32, (K, M), 1)
+
+    def body(carry, _):
+        v, mask = carry
+        top = jnp.max(v, axis=1)
+        am = jnp.argmax(v, axis=1)
+        pick = col == am[:, None]
+        return (jnp.where(pick, -jnp.inf, v), mask | pick), top
+
+    (_, mask), tops = jax.lax.scan(
+        body, (values, jnp.zeros((K, M), bool)), None, length=min(k, M)
+    )
+    return tops.T, mask  # (K, k), (K, M)
+
+
 def is_empty_mask(mask: jnp.ndarray) -> jnp.ndarray:
     """Traced emptiness check (reference is_empty_tensor, but as a value —
     control flow must use lax.cond under jit)."""

@@ -10,8 +10,11 @@ from __future__ import annotations
 
 import jax
 import jax.numpy as jnp
-import numpy as np
 
+from basedet_tpu.layers.common.function import (
+    extract_topk_mask,
+    onehot_gather_rows,
+)
 from basedet_tpu.structures import box_iou
 from basedet_tpu.utils import registers
 
@@ -27,16 +30,13 @@ class ATSS(FCOS):
 
         # static per-level metadata
         pseudo_anchors = []   # (R_l, 4) per level
-        level_sizes = []
         for pts, stride in zip(points_list, self.strides):
             half = stride * scale / 2.0
             pseudo_anchors.append(
                 jnp.concatenate([pts - half, pts + half], axis=1)
             )
-            level_sizes.append(pts.shape[0])
         points = jnp.concatenate(points_list, axis=0)          # (R, 2)
         anchors = jnp.concatenate(pseudo_anchors, axis=0)       # (R, 4)
-        bases = np.concatenate([[0], np.cumsum(level_sizes)[:-1]])
 
         def assign_one(gt, n):
             K = gt.shape[0]
@@ -46,25 +46,28 @@ class ATSS(FCOS):
 
             ious = box_iou(gt_xyxy, anchors)  # (K, R)
 
-            cand_list = []
-            for lv, (pts, base) in enumerate(zip(points_list, bases)):
+            # per-level closest-center top-k as iterative extraction masks
+            # (no XLA TopK row sort, no index scatter — see extract_topk_mask)
+            mask_list, n_cand = [], 0
+            for pts in points_list:
                 d = jnp.sqrt(
                     jnp.sum((centers[:, None, :] - pts[None, :, :]) ** 2, axis=2)
                 )  # (K, R_l)
                 k = min(topk, pts.shape[0])
-                _, idx = jax.lax.top_k(-d, k)  # smallest distances
-                cand_list.append(idx + int(base))
-            cand = jnp.concatenate(cand_list, axis=1)  # (K, L*topk)
+                _, m = extract_topk_mask(-d, k)
+                mask_list.append(m)
+                n_cand += k
+            is_candidate = jnp.concatenate(mask_list, axis=1)  # (K, R)
 
-            cand_ious = jnp.take_along_axis(ious, cand, axis=1)
-            thr = jnp.mean(cand_ious, axis=1, keepdims=True) + jnp.std(
-                cand_ious, axis=1, keepdims=True
+            # mean+std of the candidate ious via masked moments (population
+            # std, matching jnp.std over the gathered candidates exactly —
+            # every row has the same static candidate count n_cand)
+            s1 = jnp.sum(jnp.where(is_candidate, ious, 0.0), axis=1, keepdims=True)
+            s2 = jnp.sum(
+                jnp.where(is_candidate, jnp.square(ious), 0.0), axis=1, keepdims=True
             )
-            is_candidate = (
-                jnp.zeros(ious.shape, bool)
-                .at[jnp.arange(K)[:, None], cand]
-                .set(True)
-            )
+            mean = s1 / n_cand
+            thr = mean + jnp.sqrt(jnp.maximum(s2 / n_cand - jnp.square(mean), 0.0))
             is_fg = is_candidate & (ious >= thr)
 
             off = self.box_coder.encode(points[None, :, :], gt_xyxy[:, None, :])
@@ -73,7 +76,7 @@ class ATSS(FCOS):
             masked = jnp.where(is_fg & in_boxes & gt_valid[:, None], ious, -1.0)
             match = jnp.argmax(masked, axis=0)
             max_iou = jnp.max(masked, axis=0)
-            matched = gt[match]
+            matched = onehot_gather_rows(gt, match)
             labels = jnp.where(
                 max_iou <= -1.0, 0, matched[:, 4].astype(jnp.int32)
             )

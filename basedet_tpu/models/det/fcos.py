@@ -24,7 +24,7 @@ from flax import linen as nn
 from basedet_tpu.layers.backbone.fpn import FPN
 from basedet_tpu.layers.common.anchor_generator import AnchorPointGenerator
 from basedet_tpu.layers.common.post_processing import post_processing
-from basedet_tpu.layers.common.function import topk_scores
+from basedet_tpu.layers.common.function import onehot_gather_rows, topk_scores
 from basedet_tpu.layers.head.point_head import PointHead
 from basedet_tpu.layers.losses import (
     binary_cross_entropy,
@@ -180,7 +180,7 @@ class FCOS(BaseNet):
 
         match = jnp.argmin(areas, axis=0)  # (R,)
         min_area = jnp.min(areas, axis=0)
-        matched = gt_boxes[match]  # (R, 5)
+        matched = onehot_gather_rows(gt_boxes, match)  # (R, 5)
         labels = jnp.where(
             jnp.isinf(min_area), 0, matched[:, 4].astype(jnp.int32)
         )

@@ -18,6 +18,10 @@ import functools
 import jax
 import jax.numpy as jnp
 
+from basedet_tpu.layers.common.function import (
+    onehot_gather_rows,
+    onehot_pick_per_column,
+)
 from basedet_tpu.layers.common.matcher import (
     SinkhornMatcher,
     topk_dynamic_k_matching,
@@ -119,13 +123,11 @@ class OTA(FCOS):
             )
             fg_mask &= jnp.any(both, axis=0)
 
-        matched_gt = gt[matched]
+        matched_gt = onehot_gather_rows(gt, matched)
         labels = jnp.where(fg_mask, matched_gt[:, 4].astype(jnp.int32), 0)
-        gt_deltas = jnp.take_along_axis(
-            deltas, matched[None, :, None], axis=0
-        )[0]  # (R, 4)
+        gt_deltas = onehot_pick_per_column(deltas, matched)  # (R, 4)
         gt_deltas = jnp.where(fg_mask[:, None], gt_deltas, 0.0)
-        gt_ious = jnp.take_along_axis(ious_masked, matched[None, :], axis=0)[0]
+        gt_ious = onehot_pick_per_column(ious_masked, matched)  # (R,)
         gt_ious = jnp.where(fg_mask, gt_ious, 0.0)
         return labels, gt_deltas, gt_ious
 

@@ -22,7 +22,7 @@ from basedet_tpu.layers.backbone.fpn import FPN
 from basedet_tpu.layers.common.anchor_generator import DefaultAnchorGenerator
 from basedet_tpu.layers.common.matcher import Matcher
 from basedet_tpu.layers.common.post_processing import post_processing
-from basedet_tpu.layers.common.function import topk_scores
+from basedet_tpu.layers.common.function import onehot_gather_rows, topk_scores
 from basedet_tpu.layers.head.retina_head import RetinaNetHead
 from basedet_tpu.layers.losses import sigmoid_focal_loss, smooth_l1_loss
 from basedet_tpu.models.base_net import BaseNet
@@ -142,7 +142,9 @@ class RetinaNet(BaseNet):
         gt_valid = jnp.arange(K) < num_valid
         overlaps = box_iou(gt_boxes[:, :4], anchors)  # (K, R)
         match_idx, labels = self.matcher(overlaps, gt_valid)
-        matched = gt_boxes[match_idx]  # (R, 5)
+        # one-hot matmul, not a gather: R anchors of 5-float rows serialize
+        # on TPU (gather cost ~ row count); values are bit-identical
+        matched = onehot_gather_rows(gt_boxes, match_idx)  # (R, 5)
         fg = labels == 1
         labels = jnp.where(fg, matched[:, 4].astype(jnp.int32), labels)
         offsets = self.box_coder.encode(anchors, matched[:, :4])

@@ -15,6 +15,7 @@ import jax
 import jax.numpy as jnp
 from flax import linen as nn
 
+from basedet_tpu.layers.common.function import onehot_gather_rows
 from basedet_tpu.layers.common.matcher import Matcher
 from basedet_tpu.layers.common.sampling import sample_mask
 from basedet_tpu.layers.losses import binary_cross_entropy, smooth_l1_loss
@@ -98,7 +99,9 @@ def rpn_ground_truth_single(
     gt_valid = jnp.arange(K) < num_valid
     overlaps = box_iou(gt[:, :4], anchors)
     match_idx, labels = matcher(overlaps, gt_valid)
-    offsets = box_coder.encode(anchors, gt[match_idx, :4])
+    offsets = box_coder.encode(
+        anchors, onehot_gather_rows(gt[:, :4], match_idx)
+    )
     offsets = jnp.where((labels == 1)[:, None], offsets, 0.0)
 
     rng_pos, rng_neg = jax.random.split(rng)

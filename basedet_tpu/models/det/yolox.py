@@ -30,7 +30,11 @@ from basedet_tpu.layers.backbone.yolo_pafpn import YOLOPAFPN
 from basedet_tpu.layers.common.anchor_generator import FastPointGenerator
 from basedet_tpu.layers.common.matcher import topk_dynamic_k_matching
 from basedet_tpu.layers.common.post_processing import post_processing
-from basedet_tpu.layers.common.function import topk_scores
+from basedet_tpu.layers.common.function import (
+    onehot_gather_rows,
+    onehot_pick_per_column,
+    topk_scores,
+)
 from basedet_tpu.layers.head.yolo_head import YOLOXHead
 from basedet_tpu.layers.losses import binary_cross_entropy, iou_loss, smooth_l1_loss
 from basedet_tpu.models.base_net import BaseNet
@@ -199,7 +203,13 @@ class YOLOX(BaseNet):
         bce0 = -jnp.log(jnp.maximum(1 - p, eps))  # (R, C)
         s0 = jnp.sum(bce0, axis=-1)  # (R,)
         labels0 = jnp.clip(gt[:, 4].astype(jnp.int32) - 1, 0, self.num_classes - 1)
-        p_y = p[:, labels0].T  # (K, R)
+        # p[:, labels0].T as one MXU matmul — a column gather here is R·K
+        # scalar picks per image and dominated the whole train step
+        onehot_y = jax.nn.one_hot(labels0, self.num_classes, dtype=p.dtype)  # (K, C)
+        p_y = jax.lax.dot_general(
+            onehot_y, p, (((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )  # (K, R)
         # cls_cost = Σ_c BCE(p_c, 0) − BCE(p_y, 0) + BCE(p_y, 1)
         #          = s0 + log(1 − p_y) − log(p_y)
         cls_cost = (
@@ -221,9 +231,7 @@ class YOLOX(BaseNet):
             cost, ious, gt_valid, candidate_topk=10
         )
         fg_mask &= candidate
-        pred_iou = jnp.take_along_axis(
-            ious, matched_gt[None, :], axis=0
-        )[0]  # (R,)
+        pred_iou = onehot_pick_per_column(ious, matched_gt)  # (R,)
         return fg_mask, matched_gt, pred_iou
 
     # -- train ------------------------------------------------------------------------
@@ -269,9 +277,7 @@ class YOLOX(BaseNet):
             )(gt_boxes, num_valid, pred_xcycwh, cls_logits, obj_logits[..., None])
         )
 
-        matched = jnp.take_along_axis(
-            gt_boxes, matched_gt[..., None], axis=1
-        )  # (B, R, 5)
+        matched = jax.vmap(onehot_gather_rows)(gt_boxes, matched_gt)  # (B, R, 5)
         num_fg = jnp.maximum(jnp.sum(fg_mask).astype(jnp.float32), 1.0)
 
         # iou loss (square IoU between pred and gt, both xcycwh)
