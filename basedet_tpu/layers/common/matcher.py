@@ -153,6 +153,19 @@ def topk_dynamic_k_matching(
     """
     K, M = cost.shape
     k_cap = min(candidate_topk, M)
+
+    if jax.default_backend() == "tpu":
+        # VMEM-resident Pallas kernel: one HBM read of cost+ious instead of
+        # 2·k full passes (ops/matching_pallas.py; selection identical).
+        # Works under vmap — pallas_call's batching rule adds the batch as a
+        # leading grid dimension.
+        from basedet_tpu.ops.matching_pallas import dynamic_k_matching_pallas
+
+        best, fg = dynamic_k_matching_pallas(
+            cost[None], ious[None], gt_valid[None], k_cap
+        )
+        return best[0], fg[0]
+
     col = jax.lax.broadcasted_iota(jnp.int32, (K, M), 1)
 
     # sum of per-gt top-k ious → dynamic_k  (k argmax-extraction passes)
