@@ -5,6 +5,7 @@ DataLoader workers, data/build.py NUM_WORKERS).
 """
 from __future__ import annotations
 
+import atexit
 import queue
 import threading
 from typing import Iterator, Optional
@@ -23,24 +24,68 @@ from basedet_tpu.data.transforms.transforms import build_transforms
 from basedet_tpu.utils import logger
 
 
+class _WorkerError:
+    def __init__(self, exc: BaseException):
+        self.exc = exc
+
+
 class PrefetchIterator:
-    """Wraps an iterator factory with an N-deep background-thread prefetch."""
+    """Wraps an iterator factory with an N-deep background-thread prefetch.
+
+    Worker failures propagate to the consumer instead of hanging ``next()``
+    forever: an epoch that yields nothing (dataset smaller than the global
+    batch) or an exception inside the producer is forwarded through the
+    queue and re-raised. ``close()`` (also registered via atexit) stops the
+    thread cooperatively so interpreter teardown doesn't kill it mid-C++
+    call."""
 
     def __init__(self, make_iter, depth: int = 2, infinite: bool = True):
         self._make_iter = make_iter
         self._depth = depth
         self._infinite = infinite
         self._q: queue.Queue = queue.Queue(maxsize=depth)
+        self._stop = threading.Event()
         self._thread = threading.Thread(target=self._worker, daemon=True)
         self._thread.start()
+        atexit.register(self.close)
+
+    def _put(self, item) -> bool:
+        """Blocking put that aborts when close() was called."""
+        while not self._stop.is_set():
+            try:
+                self._q.put(item, timeout=0.2)
+                return True
+            except queue.Full:
+                continue
+        return False
 
     def _worker(self):
-        while True:
-            for item in self._make_iter():
-                self._q.put(item)
-            if not self._infinite:
-                self._q.put(StopIteration)
-                return
+        try:
+            while not self._stop.is_set():
+                produced = False
+                for item in self._make_iter():
+                    produced = True
+                    if not self._put(item):
+                        return
+                if not produced:
+                    raise RuntimeError(
+                        "dataloader epoch produced no batches — is the "
+                        "dataset smaller than the global batch size "
+                        "(MODEL.BATCHSIZE x device_count)?"
+                    )
+                if not self._infinite:
+                    self._put(StopIteration)
+                    return
+        except BaseException as e:  # forward to the consumer
+            self._put(_WorkerError(e))
+
+    def close(self):
+        self._stop.set()
+        try:
+            while True:
+                self._q.get_nowait()
+        except queue.Empty:
+            pass
 
     def __iter__(self):
         return self
@@ -49,6 +94,8 @@ class PrefetchIterator:
         item = self._q.get()
         if item is StopIteration:
             raise StopIteration
+        if isinstance(item, _WorkerError):
+            raise item.exc
         return item
 
 
