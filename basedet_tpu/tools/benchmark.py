@@ -142,7 +142,8 @@ class EvalBenchmark:
 
 
 def benchmark_all_models(models: List[str], image_size: int, batch: int,
-                         amp: bool, out_path: str, modes=("train", "eval")):
+                         amp: bool, out_path: str, modes=("train", "eval"),
+                         eval_batch: int = 1):
     import os
 
     results = []
@@ -165,7 +166,7 @@ def benchmark_all_models(models: List[str], image_size: int, batch: int,
                 logger.warning(f"train bench {name} failed: {e}")
         if "eval" in modes:
             try:
-                r = EvalBenchmark(name, image_size).run()
+                r = EvalBenchmark(name, image_size, batch=eval_batch).run()
                 logger.info(f"{r}")
                 results.append(r)
                 flush()
@@ -187,6 +188,11 @@ def main(args=None):
     parser.add_argument("--amp", action="store_true")
     parser.add_argument("--out", type=str, default="benchmark.json")
     parser.add_argument("--modes", nargs="+", default=["train", "eval"])
+    parser.add_argument(
+        "--eval-batch", type=int, default=1,
+        help="eval batch size (reference protocol is 1; larger batches "
+             "measure TPU serving throughput — inference is vmapped)",
+    )
     args = parser.parse_args(args)
     from basedet_tpu.utils.compile_cache import enable_compilation_cache
 
@@ -195,7 +201,7 @@ def main(args=None):
     setup_logger()
     return benchmark_all_models(
         args.models, args.image_size, args.batch, args.amp, args.out,
-        modes=tuple(args.modes),
+        modes=tuple(args.modes), eval_batch=args.eval_batch,
     )
 
 
