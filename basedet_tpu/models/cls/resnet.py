@@ -19,6 +19,9 @@ from basedet_tpu.layers.common.blocks import get_norm
 from basedet_tpu.layers.precision import Conv
 
 _STAGE_SPECS: Dict[str, Tuple[str, Sequence[int]]] = {
+    # resnet10 is not in the reference zoo; it exists for fast tests and the
+    # multichip dryrun gate (1 block per stage, same feature protocol).
+    "resnet10": ("basic", (1, 1, 1, 1)),
     "resnet18": ("basic", (2, 2, 2, 2)),
     "resnet34": ("basic", (3, 4, 6, 3)),
     "resnet50": ("bottleneck", (3, 4, 6, 3)),
