@@ -5,9 +5,9 @@ DataLoader workers, data/build.py NUM_WORKERS).
 """
 from __future__ import annotations
 
-import atexit
 import queue
 import threading
+import weakref
 from typing import Iterator, Optional
 
 from basedet_tpu.data.collators.pad_collator import (
@@ -29,15 +29,27 @@ class _WorkerError:
         self.exc = exc
 
 
+def _close_impl(stop: threading.Event, q: queue.Queue):
+    """Stop the producer cooperatively and drain the queue. Module-level so
+    weakref.finalize holds no reference back to the iterator."""
+    stop.set()
+    try:
+        while True:
+            q.get_nowait()
+    except queue.Empty:
+        pass
+
+
 class PrefetchIterator:
     """Wraps an iterator factory with an N-deep background-thread prefetch.
 
     Worker failures propagate to the consumer instead of hanging ``next()``
     forever: an epoch that yields nothing (dataset smaller than the global
     batch) or an exception inside the producer is forwarded through the
-    queue and re-raised. ``close()`` (also registered via atexit) stops the
-    thread cooperatively so interpreter teardown doesn't kill it mid-C++
-    call."""
+    queue and re-raised, and the iterator goes dead (later ``next()`` calls
+    raise StopIteration instead of blocking). ``close()`` (also run by a
+    weakref finalizer at GC/interpreter exit) stops the thread cooperatively
+    so teardown doesn't kill it mid-C++ call."""
 
     def __init__(self, make_iter, depth: int = 2, infinite: bool = True):
         self._make_iter = make_iter
@@ -45,9 +57,13 @@ class PrefetchIterator:
         self._infinite = infinite
         self._q: queue.Queue = queue.Queue(maxsize=depth)
         self._stop = threading.Event()
+        self._dead = False  # set once StopIteration/_WorkerError is delivered
         self._thread = threading.Thread(target=self._worker, daemon=True)
         self._thread.start()
-        atexit.register(self.close)
+        # weakref-based finalizer: unlike atexit.register(self.close), this
+        # does not keep the iterator (and its queued batches) alive for the
+        # life of the interpreter.
+        self._finalizer = weakref.finalize(self, _close_impl, self._stop, self._q)
 
     def _put(self, item) -> bool:
         """Blocking put that aborts when close() was called."""
@@ -80,21 +96,31 @@ class PrefetchIterator:
             self._put(_WorkerError(e))
 
     def close(self):
-        self._stop.set()
-        try:
-            while True:
-                self._q.get_nowait()
-        except queue.Empty:
-            pass
+        self._dead = True
+        self._finalizer()  # idempotent; also detaches the finalizer
 
     def __iter__(self):
         return self
 
     def __next__(self):
-        item = self._q.get()
+        if self._dead:
+            raise StopIteration
+        # Timed get + worker-alive check: once the worker thread has exited
+        # (error already delivered, or died without enqueueing) an untimed
+        # get() would block forever.
+        while True:
+            try:
+                item = self._q.get(timeout=1.0)
+                break
+            except queue.Empty:
+                if not self._thread.is_alive():
+                    self._dead = True
+                    raise StopIteration from None
         if item is StopIteration:
+            self._dead = True
             raise StopIteration
         if isinstance(item, _WorkerError):
+            self._dead = True
             raise item.exc
         return item
 

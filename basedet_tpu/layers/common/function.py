@@ -67,7 +67,12 @@ def onehot_gather_rows(table: jnp.ndarray, idx: jnp.ndarray) -> jnp.ndarray:
     serialize badly, while onehot(idx) @ table is a single MXU matmul.
     Exact: each output row sums one 1.0·x (plus true zeros), so values are
     bit-identical to the gather. f32 accumulation keeps int-valued columns
-    (labels) exact for K·x < 2²⁴.
+    (labels) exact for K·x < 2²⁴.  Precision.HIGHEST is required for that
+    claim on TPU: the default matmul precision rounds *inputs* to bf16
+    (preferred_element_type only sets the accumulator), which would quantize
+    box coords near 640 px by ±2 and break integer labels > 256 (Objects365).
+    HIGHEST (bf16x6 decomposition) is exact for f32 inputs and stays on the
+    MXU.
     """
     K = table.shape[0]
     onehot = jax.nn.one_hot(idx, K, dtype=jnp.float32)  # (R, K)
@@ -76,6 +81,7 @@ def onehot_gather_rows(table: jnp.ndarray, idx: jnp.ndarray) -> jnp.ndarray:
         table.astype(jnp.float32),
         (((1,), (0,)), ((), ())),
         preferred_element_type=jnp.float32,
+        precision=jax.lax.Precision.HIGHEST,
     ).astype(table.dtype)
 
 

@@ -209,6 +209,10 @@ class YOLOX(BaseNet):
         p_y = jax.lax.dot_general(
             onehot_y, p, (((1,), (1,)), ((), ())),
             preferred_element_type=jnp.float32,
+            # HIGHEST keeps the pick exact on TPU (default precision rounds
+            # p to bf16 before the MXU, perturbing near-tie SimOTA costs);
+            # K×C×R with a one-hot operand — negligible cost.
+            precision=jax.lax.Precision.HIGHEST,
         )  # (K, R)
         # cls_cost = Σ_c BCE(p_c, 0) − BCE(p_y, 0) + BCE(p_y, 1)
         #          = s0 + log(1 − p_y) − log(p_y)

@@ -106,3 +106,31 @@ def test_test_loader_covers_dataset(coco_dir):
     loader = TestLoader(ds, None, collator, batch_size=1)
     ids = [int(b["image_id"][0]) for b in loader]
     assert sorted(ids) == [1, 2, 3, 4]
+
+
+def test_prefetch_error_then_dead():
+    """A producer exception is re-raised once; subsequent next() calls raise
+    StopIteration immediately instead of blocking forever."""
+    from basedet_tpu.data.coco_loader import PrefetchIterator
+
+    def boom():
+        raise ValueError("producer failed")
+        yield  # pragma: no cover
+
+    it = PrefetchIterator(boom, infinite=True)
+    with pytest.raises(ValueError, match="producer failed"):
+        next(it)
+    with pytest.raises(StopIteration):
+        next(it)
+    it.close()  # idempotent
+    with pytest.raises(StopIteration):
+        next(it)
+
+
+def test_prefetch_finite_exhaust_then_dead():
+    from basedet_tpu.data.coco_loader import PrefetchIterator
+
+    it = PrefetchIterator(lambda: iter([1, 2]), infinite=False)
+    assert list(it) == [1, 2]
+    with pytest.raises(StopIteration):
+        next(it)

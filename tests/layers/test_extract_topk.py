@@ -38,6 +38,20 @@ def test_onehot_gather_rows_exact():
     np.testing.assert_array_equal(np.asarray(out), np.asarray(table)[np.asarray(idx)])
 
 
+def test_onehot_gather_rows_big_ints_and_coords():
+    # Labels > 256 (Objects365 is 365-class) and box coords > 512 quantize
+    # under default TPU matmul precision, which rounds f32 *inputs* to bf16.
+    # onehot_gather_rows pins Precision.HIGHEST so these stay bit-exact on
+    # every backend; this encodes that contract (reproduces on TPU, passes
+    # trivially on f32 CPU).
+    table = np.zeros((400, 5), np.float32)
+    table[:, 4] = np.arange(400)           # integer class labels 0..399
+    table[:, 0] = 639.0 - np.arange(400) * 0.25   # coords near 640
+    idx = jnp.asarray(np.arange(400)[::-1].copy())
+    out = np.asarray(onehot_gather_rows(jnp.asarray(table), idx))
+    np.testing.assert_array_equal(out, table[::-1])
+
+
 def test_onehot_pick_per_column_exact():
     rng = np.random.RandomState(2)
     mat = jnp.asarray(rng.randn(50, 840).astype(np.float32))
