@@ -34,3 +34,10 @@ def resolve_dataset(name: str):
     imgs, anno = registers.datasets_info.get(name)
     root = data_root()
     return os.path.join(root, imgs), os.path.join(root, anno)
+
+
+def register_dataset(name: str, images_dir: str, anno_path: str) -> None:
+    """Register a dataset by explicit paths (absolute paths bypass the data
+    root — os.path.join semantics). Idempotent re-registration allowed for
+    tools/tests."""
+    registers.datasets_info._map[name] = (images_dir, anno_path)

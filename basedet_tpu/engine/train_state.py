@@ -91,9 +91,21 @@ def make_train_step(
             return total, (loss_dict, new_mutable)
 
         if use_remat:
-            # full rematerialization: recompute the forward during backward
-            # (analogue of the reference's DTR flag, det_train.py:98-100)
-            loss_fn = jax.checkpoint(loss_fn)
+            # rematerialization (analogue of the reference's DTR flag,
+            # det_train.py:98-100). REMAT=True/"full": recompute the whole
+            # forward. REMAT="selective": save only conv outputs
+            # (checkpoint_name "conv_out" anchors in the blocks) and
+            # recompute BN/activation tails — ~2/3 less activation memory
+            # for a few % extra FLOPs, raising the batch-size ceiling.
+            if str(cfg.TRAINER.get("REMAT")).lower() == "selective":
+                loss_fn = jax.checkpoint(
+                    loss_fn,
+                    policy=jax.checkpoint_policies.save_only_these_names(
+                        "conv_out"
+                    ),
+                )
+            else:
+                loss_fn = jax.checkpoint(loss_fn)
 
         (_, (loss_dict, new_mutable)), grads = jax.value_and_grad(
             loss_fn, has_aux=True
@@ -108,7 +120,9 @@ def make_train_step(
         new_params = optax.apply_updates(state.params, updates)
 
         new_ema = state.ema_params
-        if use_ema:
+        # structural guard: cfg may enable EMA while the state was created
+        # without an EMA tree (ema=False) — track nothing in that case
+        if use_ema and state.ema_params is not None:
             step = state.step
             # before burnin, track params exactly (m=0); after, EMA with
             # momentum every update_period steps (reference ema.py:57-69)

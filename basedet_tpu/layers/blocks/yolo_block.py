@@ -10,6 +10,7 @@ from __future__ import annotations
 from typing import Sequence
 
 import jax
+import jax.ad_checkpoint
 import jax.numpy as jnp
 from flax import linen as nn
 
@@ -35,6 +36,10 @@ class _ConvBNAct(nn.Module):
             (self.stride, self.stride), padding=pad,
             feature_group_count=self.groups, use_bias=False, name="conv",
         )(x)
+        # remat anchor: under TRAINER.REMAT="selective" only conv outputs
+        # are saved for backward; BN/SiLU activations (≈2/3 of activation
+        # memory) are recomputed (engine/train_state.py policy)
+        x = jax.ad_checkpoint.checkpoint_name(x, "conv_out")
         x = get_norm(
             "BN", self.train, eps=self.bn_eps, momentum=self.bn_momentum
         )()(x)

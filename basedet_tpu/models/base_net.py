@@ -54,6 +54,20 @@ class BaseNet:
          valid (B, D)} in original-image coordinates."""
         raise NotImplementedError
 
+    # -- jitted entry points ---------------------------------------------------
+    # One compiled (persistently cached) program instead of op-by-op eager
+    # dispatch; also what tests should call — eager dispatch is several
+    # times slower than a cold jit compile on CPU.
+    def get_losses_jit(self, variables, batch, rng=None):
+        if not hasattr(self, "_losses_jit"):
+            self._losses_jit = jax.jit(self.get_losses)
+        return self._losses_jit(variables, batch, rng)
+
+    def inference_jit(self, variables, batch):
+        if not hasattr(self, "_inference_jit"):
+            self._inference_jit = jax.jit(self.inference)
+        return self._inference_jit(variables, batch)
+
     # -- shared helpers --------------------------------------------------------
     def pre_process(self, batch: Dict[str, Any], train: bool) -> Dict[str, jnp.ndarray]:
         """Pad to x32 + normalize (reference BaseNet.pre_process)."""
@@ -74,7 +88,9 @@ class BaseNet:
     def init_variables(self, rng, image_size=(512, 512), batch_size: int = 1):
         module = self.make_module(train=False)
         dummy = jnp.zeros((batch_size, *image_size, 3), jnp.float32)
-        return module.init(rng, dummy)
+        # jit: one compiled (and persistently cached) program instead of
+        # op-by-op eager dispatch — init dominated CPU test time otherwise
+        return jax.jit(module.init)(rng, dummy)
 
     # -- weights ---------------------------------------------------------------
     def load_weights(self, variables, weight_path: str):

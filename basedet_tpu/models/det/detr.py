@@ -100,7 +100,7 @@ class DETR(BaseNet):
         module = self.make_module(train=False)
         dummy = jnp.zeros((batch_size, *image_size, 3), jnp.float32)
         mask = jnp.ones((batch_size, *image_size), jnp.float32)
-        return module.init(rng, dummy, mask)
+        return jax.jit(module.init)(rng, dummy, mask)
 
     def _prepare(self, batch, train):
         inputs = self.pre_process(batch, train=train)

@@ -28,7 +28,7 @@ from basedet_tpu.layers.head.rcnn import (
 from basedet_tpu.models.base_net import BaseNet
 from basedet_tpu.layers.backbone.build import make_backbone
 from basedet_tpu.ops.nms import NEG_INF
-from basedet_tpu.ops.roi_align import multilevel_roi_align
+from basedet_tpu.ops.roi_align_pallas import pool_rois_multilevel
 from basedet_tpu.structures import BoxCoder
 from basedet_tpu.utils import registers
 
@@ -152,16 +152,13 @@ class FasterRCNNModule(nn.Module):
                 (rois, labels, targets, weights)
             )
 
-            # (B, N, 4) → (B*N, 5) with batch index column
+            # batched separable RoIAlign (Pallas on TPU); flatten for the
+            # per-roi predictor
             N = rcnn_cfg.NUM_ROIS
-            batch_idx = jnp.repeat(jnp.arange(B, dtype=jnp.float32), N)
-            flat_rois = jnp.concatenate(
-                [batch_idx[:, None], rois.reshape(-1, 4)], axis=1
-            )
-            pooled = multilevel_roi_align(
-                pool_feats, flat_rois, tuple(rcnn_cfg.STRIDES),
+            pooled = pool_rois_multilevel(
+                pool_feats, rois, tuple(rcnn_cfg.STRIDES),
                 tuple(m.ROI_POOLER.SIZE),
-            )
+            ).reshape(B * N, *m.ROI_POOLER.SIZE, -1)
             logits, deltas = predictor(pooled)
             loss_rcnn_cls, loss_rcnn_bbox = rcnn_losses(
                 logits, deltas, labels.reshape(-1), targets.reshape(-1, 4),
@@ -177,20 +174,16 @@ class FasterRCNNModule(nn.Module):
             }
         else:
             P = proposals.shape[1]
-            batch_idx = jnp.repeat(jnp.arange(B, dtype=jnp.float32), P)
-            flat_rois = jnp.concatenate(
-                [batch_idx[:, None], proposals.reshape(-1, 4)], axis=1
-            )
-            pooled = multilevel_roi_align(
-                pool_feats, flat_rois, tuple(rcnn_cfg.STRIDES),
+            pooled = pool_rois_multilevel(
+                pool_feats, proposals, tuple(rcnn_cfg.STRIDES),
                 tuple(m.ROI_POOLER.SIZE),
-            )
+            ).reshape(B * P, *m.ROI_POOLER.SIZE, -1)
             logits, deltas = predictor(pooled)
             logits = logits.astype(jnp.float32)
             deltas = deltas.astype(jnp.float32)
             scores = jax.nn.softmax(logits, axis=-1)[:, 1:]  # (B*P, C)
             boxes = rcnn_coder.decode(
-                flat_rois[:, None, 1:5], deltas
+                proposals.reshape(-1, 4)[:, None, :], deltas
             )  # (B*P, C, 4)
             return (
                 boxes.reshape(B, P, num_classes, 4),
@@ -211,7 +204,7 @@ class FasterRCNN(BaseNet):
             [[image_size[0], image_size[1], image_size[0], image_size[1], 0]],
             jnp.float32,
         ).repeat(batch_size, axis=0)
-        return module.init(rng, dummy, info)
+        return jax.jit(module.init)(rng, dummy, info)
 
     def get_losses(self, variables, batch, rng=None):
         inputs = self.pre_process(batch, train=True)

@@ -5,8 +5,9 @@ Capability analogue of the reference's Boxes methods
 "op_patch" subgraph kernels (/root/reference/basedet/structures/op_patch.py:33-227:
 box_iou / box_center / point_distance / box_ioa). Here the pairwise ops are
 written as single fused jnp expressions — XLA fuses the elementwise graph into
-one kernel on TPU; a Pallas tiled variant lives in basedet_tpu/ops/iou_kernel.py
-for large (M, N) problem sizes.
+one kernel on TPU (a tiled Pallas variant exists in
+basedet_tpu/ops/iou_pallas.py; measured on-TPU it does not beat the XLA
+fusion at detection problem sizes, so the jnp path is the production one).
 
 All functions are shape-polymorphic over leading batch dims and jit-safe
 (static shapes, no data-dependent control flow).

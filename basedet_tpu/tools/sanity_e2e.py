@@ -68,17 +68,75 @@ def make_synthetic_coco(root: str, n_train=200, n_val=40, size=320, seed=0):
     return train, val
 
 
+def _make_cfg(model: str, args):
+    """Small from-scratch-trainable config per model family."""
+    from basedet_tpu import configs as C
+
+    if model == "retinanet":
+        cfg = C.RetinaNetConfig()
+    elif model == "faster_rcnn":
+        cfg = C.FasterRCNNConfig()
+        cfg.MODEL.RPN.TRAIN_PREV_NMS_TOPK = 1000
+        cfg.MODEL.RPN.TRAIN_POST_NMS_TOPK = 500
+        cfg.MODEL.RCNN.NUM_ROIS = 128
+    elif model == "detr":
+        cfg = C.DETRConfig()
+        cfg.MODEL.TRANSFORMER.NUM_ENCODERS = 2
+        cfg.MODEL.TRANSFORMER.NUM_DECODERS = 2
+        cfg.MODEL.NUM_QUERIES = 16
+    else:
+        raise ValueError(model)
+    cfg.MODEL.BACKBONE.NAME = "resnet18"
+    # from-scratch training needs real (trainable) BN — FrozenBN with init
+    # statistics is an identity transform (the reference always loads
+    # ImageNet stats into FrozenBN; no pretrained weights exist here)
+    cfg.MODEL.BACKBONE.NORM = "BN"
+    cfg.MODEL.BACKBONE.FREEZE_AT = 0
+    cfg.MODEL.BATCHSIZE = args.batch
+    cfg.DATA.NUM_CLASSES = 3
+    cfg.DATA.MAX_INSTANCES = 8
+    if model != "detr":
+        cfg.SOLVER.BASIC_LR = 0.01 / 16
+    cfg.SOLVER.WARM_ITERS = 100
+    cfg.TRAINER.GRAD_CLIP = dict(
+        ENABLE=True, TYPE="norm", ARGS=dict(max_norm=10.0)
+    )
+    cfg.SOLVER.NUM_IMAGE_PER_EPOCH = 200
+    cfg.SOLVER.MAX_EPOCH = max(1, args.steps * args.batch // 200)
+    cfg.TEST.CLS_THRESHOLD = 0.05
+    cfg.GLOBAL.OUTPUT_DIR = args.out
+    return cfg
+
+
 def main(args=None):
     parser = argparse.ArgumentParser("basedet_tpu e2e sanity")
     parser.add_argument("--steps", type=int, default=300)
     parser.add_argument("--out", type=str, default="/tmp/basedet_e2e")
     parser.add_argument("--batch", type=int, default=8)
     parser.add_argument("--size", type=int, default=320)
+    parser.add_argument(
+        "--model", type=str, default="retinanet",
+        help="retinanet | faster_rcnn | detr | all "
+             "(reference eval flow per family: tools/det_test.py:40-118)",
+    )
     args = parser.parse_args(args)
+
+    if args.model == "all":
+        out = {}
+        for name in ("retinanet", "faster_rcnn", "detr"):
+            out[name] = _run_one(name, args)
+        print(json.dumps({
+            m: {"AP": r.get("AP"), "AP50": r.get("AP50")}
+            for m, r in out.items()
+        }))
+        return out
+    return _run_one(args.model, args)
+
+
+def _run_one(model_name: str, args):
 
     import jax
 
-    from basedet_tpu.configs import RetinaNetConfig
     from basedet_tpu.data.coco_loader import (
         TestLoader,
         _MappedLoader,
@@ -97,26 +155,7 @@ def main(args=None):
         args.out, size=args.size
     )
 
-    cfg = RetinaNetConfig()
-    cfg.MODEL.BACKBONE.NAME = "resnet18"
-    # from-scratch training needs real (trainable) BN — FrozenBN with init
-    # statistics is an identity transform (the reference always loads
-    # ImageNet stats into FrozenBN; no pretrained weights exist here)
-    cfg.MODEL.BACKBONE.NORM = "BN"
-    cfg.MODEL.BACKBONE.FREEZE_AT = 0
-    cfg.MODEL.BATCHSIZE = args.batch
-    cfg.DATA.NUM_CLASSES = 3
-    cfg.DATA.MAX_INSTANCES = 8
-    cfg.SOLVER.BASIC_LR = 0.01 / 16
-    cfg.SOLVER.WARM_ITERS = 100
-    cfg.TRAINER.GRAD_CLIP = dict(
-        ENABLE=True, TYPE="norm", ARGS=dict(max_norm=10.0)
-    )
-    cfg.SOLVER.NUM_IMAGE_PER_EPOCH = 200
-    cfg.SOLVER.MAX_EPOCH = max(1, args.steps * args.batch // 200)
-    cfg.TEST.CLS_THRESHOLD = 0.05
-    cfg.GLOBAL.OUTPUT_DIR = args.out
-
+    cfg = _make_cfg(model_name, args)
     model = cfg.build_model()
     solver = cfg.build_solver()
     mesh = make_mesh((("data", 1),), devices=jax.devices()[:1])
@@ -153,8 +192,9 @@ def main(args=None):
     evaluator = cfg.build_evaluator()
     eval_vars = state.variables()
     results = evaluator.evaluate_model(model, eval_vars, test_loader)
-    logger.info(f"E2E synthetic results: {results}")
-    print(json.dumps({"e2e_synthetic_AP": results.get("AP"),
+    logger.info(f"E2E synthetic [{model_name}] results: {results}")
+    print(json.dumps({"model": model_name,
+                      "e2e_synthetic_AP": results.get("AP"),
                       "AP50": results.get("AP50")}))
     return results
 

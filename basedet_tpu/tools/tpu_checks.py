@@ -1,0 +1,166 @@
+"""On-TPU Pallas kernel correctness checks (VERDICT round-1 item #4).
+
+Each Pallas kernel is correctness-tested in interpret mode on CPU by the
+pytest suite; a TPU-only Mosaic lowering bug would ship silently. This CLI
+runs the COMPILED kernels on the real chip and asserts equality against the
+trusted oracle (interpret mode / the XLA formulation) on the same inputs.
+Wired into the verify recipe (.claude/skills/verify) — run it every round:
+
+    python -m basedet_tpu.tools.tpu_checks
+"""
+from __future__ import annotations
+
+import sys
+
+import numpy as np
+
+
+def check(name, ok, detail=""):
+    status = "OK " if ok else "FAIL"
+    print(f"[{status}] {name} {detail}", flush=True)
+    return bool(ok)
+
+
+def main(args=None):
+    import jax
+    import jax.numpy as jnp
+
+    from basedet_tpu.utils.compile_cache import enable_compilation_cache
+
+    enable_compilation_cache()
+
+    if jax.default_backend() == "cpu":
+        print("no TPU visible — nothing to check (compiled==interpret on CPU)")
+        return 0
+
+    rng = np.random.RandomState(0)
+    results = []
+    # Interpret-mode oracles emulate the kernel op-by-op — a huge graph that
+    # is slow to compile through the remote-TPU tunnel. Run them on the host
+    # CPU backend instead (same trusted semantics, seconds not minutes).
+    cpu = jax.local_devices(backend="cpu")[0]
+
+    def on_cpu(fn, *args, **kw):
+        with jax.default_device(cpu):
+            return fn(*[
+                jax.device_put(a, cpu) if hasattr(a, "shape") else a
+                for a in args
+            ], **kw)
+
+    # -- 1. NMS keep mask: compiled vs interpret oracle ----------------------
+    from basedet_tpu.ops.nms_pallas import nms_keep_pallas
+
+    K = 2000
+    xy = rng.rand(K, 2) * 600
+    wh = rng.rand(K, 2) * 120 + 2
+    boxes = jnp.asarray(
+        np.concatenate([xy, xy + wh], axis=1).astype(np.float32)
+    )
+    valid = jnp.asarray(rng.rand(K) > 0.1)
+    got = np.asarray(nms_keep_pallas(boxes, valid, 0.5))
+    ref = np.asarray(on_cpu(nms_keep_pallas, boxes, valid, 0.5, interpret=True))
+    results.append(check(
+        "nms_keep_pallas compiled==interpret",
+        np.array_equal(got, ref),
+        f"(kept {got.sum()}/{K})",
+    ))
+
+    # -- 2. dynamic-k matching: compiled vs interpret oracle -----------------
+    from basedet_tpu.ops.matching_pallas import dynamic_k_matching_pallas
+
+    B, Kg, M = 4, 24, 3000
+    cost = rng.rand(B, Kg, M).astype(np.float32) * 10
+    ious = np.clip(rng.rand(B, Kg, M).astype(np.float32), 0, 1) * 0.9
+    gt_valid = rng.rand(B, Kg) > 0.3
+    bg, fg = dynamic_k_matching_pallas(
+        jnp.asarray(cost), jnp.asarray(ious), jnp.asarray(gt_valid), 10
+    )
+    bg_i, fg_i = on_cpu(
+        dynamic_k_matching_pallas,
+        jnp.asarray(cost), jnp.asarray(ious), jnp.asarray(gt_valid), 10,
+        interpret=True,
+    )
+    results.append(check(
+        "dynamic_k_matching compiled==interpret",
+        np.array_equal(np.asarray(bg), np.asarray(bg_i))
+        and np.array_equal(np.asarray(fg), np.asarray(fg_i)),
+        f"(fg {np.asarray(fg).sum()})",
+    ))
+
+    # -- 3. fused RoIAlign: Pallas vs XLA separable --------------------------
+    from basedet_tpu.ops.roi_align_pallas import pool_rois_multilevel
+    from basedet_tpu.ops.roi_align_separable import (
+        multilevel_roi_align_batched,
+    )
+
+    Bf, R, C = 2, 64, 256
+    strides = (4, 8, 16, 32)
+    feats = [
+        jnp.asarray(
+            rng.randn(Bf, 256 // s, 256 // s, C).astype(np.float32),
+            dtype=jnp.bfloat16,  # bf16 engages the Pallas path (production AMP)
+        )
+        for s in strides
+    ]
+    xy = rng.rand(Bf, R, 2) * 220
+    wh2 = rng.rand(Bf, R, 2) * 120 + 4
+    rois = jnp.asarray(
+        np.concatenate([xy, np.minimum(xy + wh2, 256)], axis=-1).astype(
+            np.float32
+        )
+    )
+    got = np.asarray(pool_rois_multilevel(feats, rois, strides, (7, 7)))
+    ref = np.asarray(
+        multilevel_roi_align_batched(feats, rois, strides, (7, 7))
+    )
+    got32, ref32 = got.astype(np.float32), ref.astype(np.float32)
+    err = float(np.max(np.abs(got32 - ref32))) / (
+        float(np.max(np.abs(ref32))) + 1e-6
+    )
+    results.append(check(
+        "roi_align fused==separable", err < 1e-2, f"(rel err {err:.2e})"
+    ))
+
+    # gradient path too (dF)
+    w = jnp.asarray(rng.randn(Bf, R, 7, 7, C).astype(np.float32),
+                    dtype=jnp.bfloat16)
+    gp = jax.grad(
+        lambda fs: jnp.sum(pool_rois_multilevel(fs, rois, strides, (7, 7)) * w)
+    )(feats)
+    gr = jax.grad(
+        lambda fs: jnp.sum(
+            multilevel_roi_align_batched(fs, rois, strides, (7, 7)) * w
+        )
+    )(feats)
+    gerr = max(
+        float(np.max(np.abs(
+            np.asarray(a, np.float32) - np.asarray(b, np.float32)
+        ))) / (float(np.max(np.abs(np.asarray(b, np.float32)))) + 1e-6)
+        for a, b in zip(gp, gr)
+    )
+    results.append(check(
+        "roi_align bwd fused==separable", gerr < 2e-2, f"(rel err {gerr:.2e})"
+    ))
+
+    # -- 4. one-hot gather exactness on TPU (Precision.HIGHEST contract) ----
+    from basedet_tpu.layers.common.function import onehot_gather_rows
+
+    table = np.zeros((400, 5), np.float32)
+    table[:, 4] = np.arange(400)  # integer labels 0..399 (Objects365 > 256)
+    table[:, 0] = 639.0 - np.arange(400) * 0.25
+    idx = jnp.asarray(np.arange(400)[::-1].copy())
+    out = np.asarray(
+        jax.jit(onehot_gather_rows)(jnp.asarray(table), idx)
+    )
+    results.append(check(
+        "onehot_gather_rows exact on TPU (labels>256, coords~640)",
+        np.array_equal(out, table[::-1]),
+    ))
+
+    ok = all(results)
+    print("ALL OK" if ok else "FAILURES PRESENT", flush=True)
+    return 0 if ok else 1
+
+
+if __name__ == "__main__":
+    sys.exit(main())

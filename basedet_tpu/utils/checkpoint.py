@@ -38,7 +38,10 @@ def flatten_tree(tree: Any, sep: str = "/") -> Dict[str, np.ndarray]:
     return flat
 
 
-def load_matched_weights(variables: Any, state: Mapping, strict: bool = False):
+def load_matched_weights(
+    variables: Any, state: Mapping, strict: bool = False,
+    return_stats: bool = False,
+):
     """Fill ``variables`` (pytree) from ``state`` (flat name → array).
 
     Matching order per target leaf: exact path → unique suffix match →
@@ -106,4 +109,11 @@ def load_matched_weights(variables: Any, state: Mapping, strict: bool = False):
     leaves_order = list(flat_target.keys())
     treedef = jax.tree_util.tree_structure(variables)
     new_leaves = [new_flat[k] for k in leaves_order]
-    return jax.tree_util.tree_unflatten(treedef, new_leaves)
+    tree = jax.tree_util.tree_unflatten(treedef, new_leaves)
+    if return_stats:
+        return tree, {
+            "matched": len(flat_target) - len(missing),
+            "missing": missing,
+            "unused": unused,
+        }
+    return tree

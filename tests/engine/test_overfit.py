@@ -10,8 +10,9 @@ from basedet_tpu.utils.dummy import DummyLoader
 
 
 def test_overfit_single_batch():
-    cfg = RetinaNetConfig()
-    cfg.MODEL.BACKBONE.NAME = "resnet18"
+    from tests.tiny import shrink
+
+    cfg = shrink(RetinaNetConfig())
     cfg.MODEL.BACKBONE.FREEZE_AT = 0
     cfg.MODEL.BATCHSIZE = 2
     cfg.SOLVER.BUILDER_NAME = "DefaultSolver"

@@ -12,8 +12,9 @@ from basedet_tpu.configs import RetinaNetConfig
 
 
 def make_cfg(tmpdir):
-    cfg = RetinaNetConfig()
-    cfg.MODEL.BACKBONE.NAME = "resnet18"
+    from tests.tiny import shrink
+
+    cfg = shrink(RetinaNetConfig())
     cfg.MODEL.BATCHSIZE = 1
     cfg.DATA.TRAIN.name = "dummy"
     cfg.DATA.DUMMY_IMAGE_SIZE = (64, 64)

@@ -8,26 +8,7 @@ import pytest
 from basedet_tpu.utils.dummy import DummyLoader
 
 
-def _small(cfg):
-    if cfg.MODEL.BACKBONE.get("NAME", "").startswith("resnet"):
-        cfg.MODEL.BACKBONE.NAME = "resnet18"
-    if "RPN" in cfg.MODEL:
-        cfg.MODEL.RPN.TRAIN_PREV_NMS_TOPK = 200
-        cfg.MODEL.RPN.TRAIN_POST_NMS_TOPK = 100
-        cfg.MODEL.RPN.TEST_PREV_NMS_TOPK = 200
-        cfg.MODEL.RPN.TEST_POST_NMS_TOPK = 100
-        cfg.MODEL.RCNN.NUM_ROIS = 64
-    if "TRANSFORMER" in cfg.MODEL:
-        cfg.MODEL.TRANSFORMER.NUM_ENCODERS = 1
-        cfg.MODEL.TRANSFORMER.NUM_DECODERS = 1
-        cfg.MODEL.NUM_QUERIES = 16
-    if cfg.MODEL.NAME == "CenterNet":
-        cfg.MODEL.HEAD.DECONV_CHANNEL = [512, 64, 32, 16]
-        cfg.MODEL.HEAD.IN_CHANNELS = 16
-    if cfg.MODEL.NAME == "YOLOX":
-        cfg.MODEL.DEPTH_FACTOR = 0.33
-        cfg.MODEL.WIDTH_FACTOR = 0.25
-    return cfg
+from tests.tiny import shrink as _small  # noqa: E402
 
 
 def _configs():
@@ -55,10 +36,10 @@ def test_model_losses_and_inference(name):
         batch_size=2, image_size=(96, 96), max_instances=6
     ).make_batch()
     variables = model.init_variables(jax.random.PRNGKey(0), image_size=(96, 96))
-    total, losses, _ = model.get_losses(variables, batch, jax.random.PRNGKey(1))
+    total, losses, _ = model.get_losses_jit(variables, batch, jax.random.PRNGKey(1))
     assert np.isfinite(float(total)), f"{name} loss not finite"
     assert "total_loss" in losses
-    dets = model.inference(variables, batch)
+    dets = model.inference_jit(variables, batch)
     assert dets["boxes"].shape[0] == 2
     assert np.isfinite(np.asarray(dets["boxes"])).all()
 

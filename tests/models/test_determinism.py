@@ -14,18 +14,16 @@ def test_inference_bitwise_stable(name):
     from basedet_tpu import configs as C
 
     cfg = {"RetinaNet": C.RetinaNetConfig, "YOLOX": C.YOLOXConfig}[name]()
-    if name == "RetinaNet":
-        cfg.MODEL.BACKBONE.NAME = "resnet18"
-    else:
-        cfg.MODEL.DEPTH_FACTOR = 0.33
-        cfg.MODEL.WIDTH_FACTOR = 0.25
+    from tests.tiny import shrink
+
+    shrink(cfg)
     model = cfg.build_model()
     batch = DummyLoader(
         batch_size=1, image_size=(96, 96), max_instances=6
     ).make_batch()
     variables = model.init_variables(jax.random.PRNGKey(0), image_size=(96, 96))
 
-    outs = [model.inference(variables, batch) for _ in range(2)]
+    outs = [model.inference_jit(variables, batch) for _ in range(2)]
     ref = outs[0]
     for other in outs[1:]:
         for k in ref:

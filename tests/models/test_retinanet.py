@@ -5,14 +5,13 @@ import jax.numpy as jnp
 import numpy as np
 import pytest
 
-from basedet_tpu.configs import RetinaNetConfig
 from basedet_tpu.utils.dummy import DummyLoader
+from tests.tiny import tiny_retinanet_cfg
 
 
 @pytest.fixture(scope="module")
 def setup():
-    cfg = RetinaNetConfig()
-    cfg.MODEL.BACKBONE.NAME = "resnet18"  # small for CPU CI
+    cfg = tiny_retinanet_cfg()
     model = cfg.build_model()
     variables = model.init_variables(jax.random.PRNGKey(0), image_size=(128, 128))
     batch = DummyLoader(batch_size=2, image_size=(128, 128), max_instances=8).make_batch()
@@ -21,7 +20,7 @@ def setup():
 
 def test_losses_finite(setup):
     model, variables, batch = setup
-    total, losses, state = model.get_losses(variables, batch)
+    total, losses, state = model.get_losses_jit(variables, batch)
     assert set(losses) == {"total_loss", "cls_loss", "reg_loss"}
     for v in losses.values():
         assert np.isfinite(float(v))
@@ -36,7 +35,7 @@ def test_losses_grad_flows(setup):
         total, _, _ = model.get_losses(v, batch)
         return total
 
-    grads = jax.grad(loss_fn)(variables["params"])
+    grads = jax.jit(jax.grad(loss_fn))(variables["params"])
     gnorm = jnp.sqrt(
         sum(jnp.sum(g ** 2) for g in jax.tree_util.tree_leaves(grads))
     )
@@ -45,7 +44,7 @@ def test_losses_grad_flows(setup):
 
 def test_inference_shapes(setup):
     model, variables, batch = setup
-    dets = model.inference(variables, batch)
+    dets = model.inference_jit(variables, batch)
     B = batch["data"].shape[0]
     D = model.cfg.TEST.MAX_BOXES_PER_IMAGE
     assert dets["boxes"].shape == (B, D, 4)

@@ -14,8 +14,9 @@ from basedet_tpu.utils.dummy import DummyLoader
 
 
 def _setup():
-    cfg = RetinaNetConfig()
-    cfg.MODEL.BACKBONE.NAME = "resnet18"
+    from tests.tiny import shrink
+
+    cfg = shrink(RetinaNetConfig())
     cfg.MODEL.BATCHSIZE = 1
     cfg.DATA.MAX_INSTANCES = 4
     cfg.SOLVER.WARM_ITERS = 0

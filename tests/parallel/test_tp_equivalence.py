@@ -12,8 +12,10 @@ from basedet_tpu.utils.dummy import DummyLoader
 
 
 def _setup():
-    cfg = DETRConfig()
-    cfg.MODEL.BACKBONE.NAME = "resnet18"
+    from tests.tiny import shrink
+
+    cfg = shrink(DETRConfig())
+    cfg.MODEL.BACKBONE.NAME = "resnet10"
     cfg.MODEL.BATCHSIZE = 1
     cfg.MODEL.TRANSFORMER.NUM_ENCODERS = 1
     cfg.MODEL.TRANSFORMER.NUM_DECODERS = 1
