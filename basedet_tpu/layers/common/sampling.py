@@ -12,18 +12,34 @@ import jax.numpy as jnp
 
 
 def sample_mask(
-    rng: jax.Array, candidates: jnp.ndarray, quota
+    rng: jax.Array, candidates: jnp.ndarray, quota, cap: int | None = None
 ) -> jnp.ndarray:
     """Pick at most ``quota`` True entries of ``candidates`` uniformly.
 
     candidates: (N,) bool. quota: int or traced scalar. Returns (N,) bool.
+
+    ``cap``: static upper bound on ``quota``. When given, the selection is a
+    ``lax.top_k(·, cap)`` + threshold-value compare instead of a full double
+    argsort — on TPU two 76k-element argsorts cost ~10 ms/batch in the RPN
+    (measured v5e, playground/ablate_frcnn_phases.py) while top_k(76k, 256)
+    is ~0.2 ms. Exact same distribution; on an f32 noise collision at the
+    threshold (p ≈ N/2²⁴) one extra element may be kept.
     """
     n = candidates.shape[0]
     noise = jax.random.uniform(rng, (n,))
     scores = jnp.where(candidates, noise, -1.0)
-    order = jnp.argsort(-scores)             # candidates first, random order
-    ranks = jnp.argsort(order)               # rank of each element
-    return candidates & (ranks < quota)
+    if cap is None:
+        order = jnp.argsort(-scores)         # candidates first, random order
+        ranks = jnp.argsort(order)           # rank of each element
+        return candidates & (ranks < quota)
+    cap = min(cap, n)
+    top, _ = jax.lax.top_k(scores, cap)
+    q = jnp.clip(quota, 0, cap)
+    # threshold = q-th largest score; keep >= it (rare tie keeps one extra).
+    # If quota exceeds the candidate count the threshold lands on a -1.0
+    # filler and every candidate is kept — still "at most quota".
+    thr = jnp.where(q > 0, top[jnp.maximum(q - 1, 0)], jnp.inf)
+    return candidates & (scores >= thr)
 
 
 def sample_labels(

@@ -15,6 +15,7 @@ import jax
 import jax.numpy as jnp
 from flax import linen as nn
 
+from basedet_tpu.layers.common.function import onehot_gather_rows
 from basedet_tpu.layers.common.sampling import sample_mask
 from basedet_tpu.layers.losses import smooth_l1_loss
 from basedet_tpu.structures import BoxCoder, box_iou
@@ -73,30 +74,44 @@ def rcnn_sample_single(
     overlaps = jnp.where(gt_valid[None, :], overlaps, -1.0)
     max_ov = jnp.max(overlaps, axis=1)
     assignment = jnp.argmax(overlaps, axis=1)
-    assigned_gt = gt[assignment]  # (P+K, 5)
 
     fg_mask = (max_ov >= fg_thresh) & roi_valid
     bg_mask = (max_ov >= bg_thresh_low) & (max_ov < bg_thresh_high) & roi_valid
 
     rng_fg, rng_bg, rng_tie = jax.random.split(rng, 3)
     num_fg = int(num_rois * fg_ratio)
-    sel_fg = sample_mask(rng_fg, fg_mask, num_fg)
+    sel_fg = sample_mask(rng_fg, fg_mask, num_fg, cap=num_rois)
     num_bg = num_rois - jnp.sum(sel_fg)
-    sel_bg = sample_mask(rng_bg, bg_mask, num_bg)
+    sel_bg = sample_mask(rng_bg, bg_mask, num_bg, cap=num_rois)
 
     # compact to exactly num_rois rows: fg tier > bg tier > rest
     noise = jax.random.uniform(rng_tie, (all_rois.shape[0],))
     priority = sel_fg * 2.0 + sel_bg * 1.0 + noise * 0.5
     _, order = jax.lax.top_k(priority, num_rois)
 
-    rois = all_rois[order]
-    chosen_fg = sel_fg[order]
-    chosen_bg = sel_bg[order]
+    # row lookups as one-hot MXU matmuls (dynamic-index gathers of ~1k tiny
+    # rows serialize badly on TPU — same rework as the matched-GT lookups)
+    picked = onehot_gather_rows(
+        jnp.concatenate(
+            [
+                all_rois,
+                onehot_gather_rows(gt, assignment),
+                sel_fg[:, None].astype(jnp.float32),
+                sel_bg[:, None].astype(jnp.float32),
+            ],
+            axis=1,
+        ),
+        order,
+    )  # (num_rois, 4+5+1+1)
+    rois = picked[:, :4]
+    assigned_rows = picked[:, 4:9]
+    chosen_fg = picked[:, 9] > 0.5
+    chosen_bg = picked[:, 10] > 0.5
     labels = jnp.where(
-        chosen_fg, assigned_gt[order, 4].astype(jnp.int32),
+        chosen_fg, assigned_rows[:, 4].astype(jnp.int32),
         jnp.where(chosen_bg, 0, -1),
     )
-    targets = box_coder.encode(rois, assigned_gt[order, :4])
+    targets = box_coder.encode(rois, assigned_rows[:, :4])
     targets = jnp.where(chosen_fg[:, None], targets, 0.0)
     weight = (chosen_fg | chosen_bg).astype(jnp.float32)
     return rois, labels, targets, weight

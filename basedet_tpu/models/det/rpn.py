@@ -106,11 +106,13 @@ def rpn_ground_truth_single(
 
     rng_pos, rng_neg = jax.random.split(rng)
     # keep at most num_pos_anchor positives
-    pos_keep = sample_mask(rng_pos, labels == 1, num_pos_anchor)
+    pos_keep = sample_mask(rng_pos, labels == 1, num_pos_anchor,
+                           cap=num_sample_anchors)
     labels = jnp.where((labels == 1) & ~pos_keep, -1, labels)
     # fill the rest with negatives
     num_neg = num_sample_anchors - jnp.sum(labels == 1)
-    neg_keep = sample_mask(rng_neg, labels == 0, num_neg)
+    neg_keep = sample_mask(rng_neg, labels == 0, num_neg,
+                           cap=num_sample_anchors)
     labels = jnp.where((labels == 0) & ~neg_keep, -1, labels)
     return labels, offsets
 

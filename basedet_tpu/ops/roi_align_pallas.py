@@ -40,17 +40,27 @@ from basedet_tpu.ops.roi_align_separable import (
 )
 
 _G = 8  # rois per group (keeps the f32 stage-1 intermediate ~4.6 MB at P2)
-_ACC_BUDGET = 7 * 2**20  # bwd f32 accumulator VMEM budget (bytes)
+# XLA's scoped-vmem limit for custom calls is 16 MB and the axon tunnel
+# rejects client-set TPU server flags, so both kernels split the feature H
+# axis across pallas calls until their working set fits (measured: the
+# unsplit fwd at P2/b8/C=256 needs 20.1 MB and is rejected at compile time).
+_ACC_BUDGET = int(3.5 * 2**20)  # bwd f32 accumulator VMEM budget (bytes)
+_FWD_BUDGET = 12 * 2**20  # fwd working-set budget (bytes)
 
 
 def _fwd_kernel(mask_ref, py_ref, px_ref, f_ref, out_ref):
-    """py (1, G, ph, H); px (1, G, pw, W); f (1, H, W, CT);
-    out (1, G, ph, pw, CT); mask (B, NRG) scalar-prefetched."""
+    """py (1, G·ph, H) (roi-major row blocks); px (1, G, pw, W);
+    f (1, H, W, CT); out (1, G, ph, pw, CT); mask (B, NRG) scalar-prefetched.
+
+    Mosaic lowers >2D dot_generals by reshaping operands, and vector
+    reshapes that merge leading dims into the (sublane) second-minor dim —
+    e.g. (G, ph, H) → (G·ph, H) — don't lower (verified on v5e: probe in
+    round-2 notes). So py arrives pre-flattened from the host and every dot
+    here is a 2D-lhs form that Mosaic compiles."""
     b = pl.program_id(0)
     g = pl.program_id(2)
-    G, ph, H = py_ref.shape[1], py_ref.shape[2], py_ref.shape[3]
-    pw, W = px_ref.shape[2], px_ref.shape[3]
-    CT = f_ref.shape[3]
+    ph = out_ref.shape[2]
+    G = py_ref.shape[1] // ph
 
     @pl.when(mask_ref[b, g] == 0)
     def _skip():
@@ -58,19 +68,18 @@ def _fwd_kernel(mask_ref, py_ref, px_ref, f_ref, out_ref):
 
     @pl.when(mask_ref[b, g] != 0)
     def _compute():
-        # stage 1: A[g, i, x, c] = Σ_y py[g, i, y] · f[y, x, c]
-        # (no in-kernel reshapes — Mosaic restricts vector reshape)
+        # stage 1: A[(g·i), x, c] = Σ_y py[(g·i), y] · f[y, x, c]
         a = jax.lax.dot_general(
-            py_ref[0],  # (G, ph, H)
+            py_ref[0],  # (G·ph, H)
             f_ref[0],  # (H, W, CT)
-            (((2,), (0,)), ((), ())),
+            (((1,), (0,)), ((), ())),
             preferred_element_type=jnp.float32,
-        )  # (G, ph, W, CT)
+        )  # (G·ph, W, CT)
         # stage 2 per roi: contract W
         for r in range(G):
             o = jax.lax.dot_general(
                 px_ref[0, r],  # (pw, W)
-                a[r],  # (ph, W, CT)
+                a[r * ph:(r + 1) * ph],  # (ph, W, CT)
                 (((1,), (1,)), ((), ())),
                 preferred_element_type=jnp.float32,
             )  # (pw, ph, CT)
@@ -101,12 +110,17 @@ def _bwd_kernel(mask_ref, py_ref, px_ref, g_ref, df_ref, acc_ref):
             preferred_element_type=jnp.float32,
         )  # (G, W, ph, CT)
         # dF[y, x, c] += Σ_{g, i} py[g, i, y] · u[g, x, i, c]
-        acc_ref[:] += jax.lax.dot_general(
-            py_ref[0],  # (G, ph, H)
-            u_all,  # (G, W, ph, CT)
-            (((0, 1), (0, 2)), ((), ())),
-            preferred_element_type=jnp.float32,
-        )  # (H, W, CT)
+        # (per-roi 2D-lhs dots: the fused (0,1)×(0,2) double-contract form
+        # fails Mosaic's tpu.matmul verifier — see _fwd_kernel note)
+        acc = acc_ref[:]
+        for r in range(G):
+            acc += jax.lax.dot_general(
+                py_ref[0, r],  # (ph, H)
+                u_all[r],  # (W, ph, CT)
+                (((0,), (1,)), ((), ())),
+                preferred_element_type=jnp.float32,
+            )  # (H, W, CT)
+        acc_ref[:] = acc
 
     @pl.when(g == n_g - 1)
     def _flush():
@@ -120,12 +134,44 @@ def _ct_for(C: int, dtype) -> int:
 
 
 def _level_call_fwd(f, py, px, mask, interpret: bool):
+    """One level's fwd; splits H across pallas calls to fit scoped VMEM.
+
+    Stage 2 is linear in the stage-1 sum over y, so
+    out = Σ_chunks kernel(f[:, h0:h1], py[..., h0:h1], px)."""
+    B, H, W, C = f.shape
+    ph = py.shape[2]
+    CT = _ct_for(C, f.dtype)
+    G = _G if py.shape[1] % _G == 0 else py.shape[1]
+
+    def cost(h):
+        f_blk = 2 * h * W * CT * f.dtype.itemsize  # double-buffered
+        a_blk = (G * ph) * W * CT * 4  # f32 stage-1 intermediate
+        return f_blk + a_blk
+
+    n_split = 1
+    while cost(H // n_split) > _FWD_BUDGET and H % (n_split * 2) == 0:
+        n_split *= 2
+    if n_split == 1:
+        return _level_call_fwd_part(f, py, px, mask, interpret)
+    hs = H // n_split
+    out = None
+    for s in range(n_split):
+        o = _level_call_fwd_part(
+            f[:, s * hs:(s + 1) * hs], py[..., s * hs:(s + 1) * hs], px,
+            mask, interpret,
+        )
+        out = o if out is None else out + o
+    return out
+
+
+def _level_call_fwd_part(f, py, px, mask, interpret: bool):
     B, H, W, C = f.shape
     _, R, ph, _ = py.shape
     pw = px.shape[2]
     CT = _ct_for(C, f.dtype)
     G = _G if R % _G == 0 else R
     grid = (B, C // CT, R // G)
+    py2 = py.reshape(B, R * ph, H)  # roi-major row blocks (see _fwd_kernel)
 
     return pl.pallas_call(
         _fwd_kernel,
@@ -134,7 +180,7 @@ def _level_call_fwd(f, py, px, mask, interpret: bool):
             grid=grid,
             in_specs=[
                 pl.BlockSpec(
-                    (1, G, ph, H), lambda b, ct, g, m_: (b, g, 0, 0),
+                    (1, G * ph, H), lambda b, ct, g, m_: (b, g, 0),
                     memory_space=pltpu.VMEM,
                 ),
                 pl.BlockSpec(
@@ -153,7 +199,7 @@ def _level_call_fwd(f, py, px, mask, interpret: bool):
         ),
         out_shape=jax.ShapeDtypeStruct((B, R, ph, pw, C), f.dtype),
         interpret=interpret,
-    )(mask, py, px, f)
+    )(mask, py2, px, f)
 
 
 def _level_call_bwd(grads, f_shape, f_dtype, py, px, mask, interpret: bool):
@@ -264,10 +310,15 @@ def pool_rois_multilevel(
     # Pallas path needs: TPU backend, C a multiple of 128 (Mosaic lane-dim
     # block constraint), bf16 features (the f32 VMEM working set at P2 does
     # not fit). Production detection runs AMP bf16 with C=256.
+    # BASEDET_ROIALIGN_BACKEND={pallas,xla} forces a path (A/B benchmarking).
+    import os
+
+    force = os.environ.get("BASEDET_ROIALIGN_BACKEND")
     usable = (
         jax.default_backend() == "tpu"
         and features[0].dtype == jnp.bfloat16
         and features[0].shape[-1] % 128 == 0
+        and force != "xla"
     )
     if not usable:
         return multilevel_roi_align_batched(
