@@ -39,7 +39,10 @@ from basedet_tpu.ops.roi_align_separable import (
     roi_level_assignment,
 )
 
-_G = 8  # rois per group (keeps the f32 stage-1 intermediate ~4.6 MB at P2)
+_G = 8  # rois per group. G=16 (stage-1 M = 112 ≈ a full MXU tile) was
+# tried with in-kernel W-chunking + fori_loop to fit scoped VMEM and
+# measured 60% SLOWER — the serial loop defeats DMA/MXU pipelining
+# (playground/ablate_roialign3.py); G=8 full-W is the sweet spot.
 # XLA's scoped-vmem limit for custom calls is 16 MB and the axon tunnel
 # rejects client-set TPU server flags, so both kernels split the feature H
 # axis across pallas calls until their working set fits (measured: the
@@ -75,26 +78,28 @@ def _fwd_kernel(mask_ref, py_ref, px_ref, f_ref, out_ref):
             (((1,), (0,)), ((), ())),
             preferred_element_type=jnp.float32,
         )  # (G·ph, W, CT)
-        # stage 2 per roi: contract W
-        for r in range(G):
-            o = jax.lax.dot_general(
-                px_ref[0, r],  # (pw, W)
-                a[r * ph:(r + 1) * ph],  # (ph, W, CT)
-                (((1,), (1,)), ((), ())),
-                preferred_element_type=jnp.float32,
-            )  # (pw, ph, CT)
-            out_ref[0, r] = jnp.transpose(o, (1, 0, 2)).astype(out_ref.dtype)
+        # stage 2, one batched dot over the group: contract W.
+        # (G·ph, W, CT) → (G, ph, W, CT) splits a leading (non-tiled) dim —
+        # Mosaic only rejects reshapes that merge into the sublane/lane dims.
+        a4 = a.reshape(G, ph, a.shape[1], a.shape[2])
+        o = jax.lax.dot_general(
+            px_ref[0],  # (G, W, pw)
+            a4,  # (G, ph, W, CT)
+            (((1,), (2,)), ((0,), (0,))),
+            preferred_element_type=jnp.float32,
+        )  # (G, pw, ph, CT)
+        out_ref[0] = jnp.transpose(o, (0, 2, 1, 3)).astype(out_ref.dtype)
 
 
 def _bwd_kernel(mask_ref, py_ref, px_ref, g_ref, df_ref, acc_ref):
-    """g (1, G, ph, pw, CT) upstream grads; df (1, H, W, CT) out;
+    """py (1, G·ph, H) (roi-major row blocks, like fwd); px (1, G, pw, W);
+    g (1, G, ph, pw, CT) upstream grads; df (1, H, W, CT) out;
     acc (H, W·CT) f32 scratch accumulated across the roi-group grid axis."""
     b = pl.program_id(0)
     g = pl.program_id(2)
     n_g = pl.num_programs(2)
-    G, ph, H = py_ref.shape[1], py_ref.shape[2], py_ref.shape[3]
-    pw, W = px_ref.shape[2], px_ref.shape[3]
-    CT = g_ref.shape[4]
+    ph = g_ref.shape[2]
+    G = py_ref.shape[1] // ph
 
     @pl.when(g == 0)
     def _init():
@@ -102,25 +107,26 @@ def _bwd_kernel(mask_ref, py_ref, px_ref, g_ref, df_ref, acc_ref):
 
     @pl.when(mask_ref[b, g] != 0)
     def _compute():
-        # u[g, x, i, c] = Σ_j px[g, j, x] · grad[g, i, j, c]
-        u_all = jax.lax.dot_general(
-            px_ref[0],  # (G, pw, W)
+        # u[g, x, i, c] = Σ_j px[g, x, j] · grad[g, i, j, c]
+        u = jax.lax.dot_general(
+            px_ref[0],  # (G, W, pw)
             g_ref[0],  # (G, ph, pw, CT)
-            (((1,), (2,)), ((0,), (0,))),
+            (((2,), (2,)), ((0,), (0,))),
             preferred_element_type=jnp.float32,
         )  # (G, W, ph, CT)
-        # dF[y, x, c] += Σ_{g, i} py[g, i, y] · u[g, x, i, c]
-        # (per-roi 2D-lhs dots: the fused (0,1)×(0,2) double-contract form
-        # fails Mosaic's tpu.matmul verifier — see _fwd_kernel note)
-        acc = acc_ref[:]
-        for r in range(G):
-            acc += jax.lax.dot_general(
-                py_ref[0, r],  # (ph, H)
-                u_all[r],  # (W, ph, CT)
-                (((0,), (1,)), ((), ())),
-                preferred_element_type=jnp.float32,
-            )  # (H, W, CT)
-        acc_ref[:] = acc
+        # dF[y, x, c] += Σ_{(g·i)} py[(g·i), y] · u2[(g·i), x, c] as ONE dot:
+        # transpose u to (G, ph, W, CT) and merge the two leading (non-tiled)
+        # dims — legal in Mosaic; only sublane/lane-dim merges are not.
+        # (The fused (0,1)×(0,2) double-contract form fails the tpu.matmul
+        # verifier, and per-roi dots cost G× the M-dim tile-ops.)
+        u2 = jnp.transpose(u, (0, 2, 1, 3))
+        u2 = u2.reshape(G * ph, u2.shape[2], u2.shape[3])
+        acc_ref[:] += jax.lax.dot_general(
+            py_ref[0],  # (G·ph, H)
+            u2,  # (G·ph, W, CT)
+            (((0,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )  # (H, W, CT)
 
     @pl.when(g == n_g - 1)
     def _flush():
@@ -140,13 +146,15 @@ def _level_call_fwd(f, py, px, mask, interpret: bool):
     out = Σ_chunks kernel(f[:, h0:h1], py[..., h0:h1], px)."""
     B, H, W, C = f.shape
     ph = py.shape[2]
+    pw = px.shape[2]
     CT = _ct_for(C, f.dtype)
     G = _G if py.shape[1] % _G == 0 else py.shape[1]
 
     def cost(h):
         f_blk = 2 * h * W * CT * f.dtype.itemsize  # double-buffered
         a_blk = (G * ph) * W * CT * 4  # f32 stage-1 intermediate
-        return f_blk + a_blk
+        o_blk = 3 * G * ph * pw * CT * 4  # f32 out acc + transpose + out
+        return f_blk + a_blk + o_blk
 
     n_split = 1
     while cost(H // n_split) > _FWD_BUDGET and H % (n_split * 2) == 0:
@@ -172,6 +180,7 @@ def _level_call_fwd_part(f, py, px, mask, interpret: bool):
     G = _G if R % _G == 0 else R
     grid = (B, C // CT, R // G)
     py2 = py.reshape(B, R * ph, H)  # roi-major row blocks (see _fwd_kernel)
+    px2 = jnp.swapaxes(px, 2, 3)  # (B, R, W, pw): W-major (see _fwd_kernel)
 
     return pl.pallas_call(
         _fwd_kernel,
@@ -184,7 +193,7 @@ def _level_call_fwd_part(f, py, px, mask, interpret: bool):
                     memory_space=pltpu.VMEM,
                 ),
                 pl.BlockSpec(
-                    (1, G, pw, W), lambda b, ct, g, m_: (b, g, 0, 0),
+                    (1, G, W, pw), lambda b, ct, g, m_: (b, g, 0, 0),
                     memory_space=pltpu.VMEM,
                 ),
                 pl.BlockSpec(
@@ -199,7 +208,7 @@ def _level_call_fwd_part(f, py, px, mask, interpret: bool):
         ),
         out_shape=jax.ShapeDtypeStruct((B, R, ph, pw, C), f.dtype),
         interpret=interpret,
-    )(mask, py2, px, f)
+    )(mask, py2, px2, f)
 
 
 def _level_call_bwd(grads, f_shape, f_dtype, py, px, mask, interpret: bool):
@@ -235,6 +244,8 @@ def _level_call_bwd_part(grads, f_shape, f_dtype, py, px, mask,
     CT = _ct_for(C, f_dtype)
     G = _G if R % _G == 0 else R
     grid = (B, C // CT, R // G)
+    py2 = py.reshape(B, R * ph, H)  # roi-major row blocks (see _fwd_kernel)
+    px2 = jnp.swapaxes(px, 2, 3)  # (B, R, W, pw): W-major (see _fwd_kernel)
 
     return pl.pallas_call(
         _bwd_kernel,
@@ -243,11 +254,11 @@ def _level_call_bwd_part(grads, f_shape, f_dtype, py, px, mask,
             grid=grid,
             in_specs=[
                 pl.BlockSpec(
-                    (1, G, ph, H), lambda b, ct, g, m_: (b, g, 0, 0),
+                    (1, G * ph, H), lambda b, ct, g, m_: (b, g, 0),
                     memory_space=pltpu.VMEM,
                 ),
                 pl.BlockSpec(
-                    (1, G, pw, W), lambda b, ct, g, m_: (b, g, 0, 0),
+                    (1, G, W, pw), lambda b, ct, g, m_: (b, g, 0, 0),
                     memory_space=pltpu.VMEM,
                 ),
                 pl.BlockSpec(
@@ -263,7 +274,7 @@ def _level_call_bwd_part(grads, f_shape, f_dtype, py, px, mask,
         ),
         out_shape=jax.ShapeDtypeStruct((B, H, W, C), f_dtype),
         interpret=interpret,
-    )(mask, py, px, grads)
+    )(mask, py2, px2, grads)
 
 
 @functools.partial(jax.custom_vjp, nondiff_argnums=(2, 3, 4, 5, 6, 7, 8))

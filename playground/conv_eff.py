@@ -1,0 +1,77 @@
+"""Achieved TF/s for representative R50/FPN convs, fwd and fwd+bwd.
+
+Each case is REPS-amortized inside one jitted program (axon dispatch ~3 ms).
+Prints useful-GFLOP, ms, and TF/s to locate where the 197 TF/s v5e peak is
+lost (lane underfill? wgrad? dgrad?).
+"""
+import time
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from basedet_tpu.utils.compile_cache import enable_compilation_cache
+
+enable_compilation_cache()
+
+B, REPS, N_TIMED = 8, 8, 5
+
+
+def conv(x, w, s=1):
+    k = w.shape[0]
+    p = (k - 1) // 2
+    return jax.lax.conv_general_dilated(
+        x, w, (s, s), [(p, p), (p, p)],
+        dimension_numbers=("NHWC", "HWIO", "NHWC"),
+    )
+
+
+def run(name, H, ci, co, k, s=1, dtype=jnp.bfloat16):
+    rng = np.random.RandomState(0)
+    x = jnp.asarray(rng.randn(B, H, H, ci).astype(np.float32) * .1, dtype)
+    w = jnp.asarray(rng.randn(k, k, ci, co).astype(np.float32) * .01, dtype)
+    Ho = H // s
+    gflop = 2 * B * Ho * Ho * ci * co * k * k / 1e9
+
+    @jax.jit
+    def fwd(x, w):
+        acc = jnp.float32(0)
+        for r in range(REPS):
+            acc += conv(x + jnp.asarray(r, dtype), w, s).astype(jnp.float32).sum()
+        return acc
+
+    @jax.jit
+    def fwdbwd(x, w):
+        def loss(x, w):
+            acc = jnp.float32(0)
+            for r in range(REPS):
+                acc += conv(x + jnp.asarray(r, dtype), w, s).astype(jnp.float32).sum()
+            return acc
+        l, (gx, gw) = jax.value_and_grad(loss, argnums=(0, 1))(x, w)
+        return l + gx.astype(jnp.float32).sum() + gw.astype(jnp.float32).sum()
+
+    for mode, prog, mult in (("fwd", fwd, 1), ("f+b", fwdbwd, 3)):
+        float(np.asarray(prog(x, w)))
+        t0 = time.perf_counter()
+        for _ in range(N_TIMED):
+            float(np.asarray(prog(x, w)))
+        dt = (time.perf_counter() - t0) / N_TIMED / REPS * 1e3
+        tf = gflop * mult / dt
+        print(f"{name:28s} {mode}  {gflop*mult:7.1f} GF {dt:7.3f} ms "
+              f"{tf:6.1f} TF/s", flush=True)
+
+
+if __name__ == "__main__":
+    import sys
+
+    cases = {
+        "res2": ("res2 3x3 64->64 @160", 160, 64, 64, 3),
+        "res3": ("res3 3x3 128->128 @80", 80, 128, 128, 3),
+        "res4": ("res4 3x3 256->256 @40", 40, 256, 256, 3),
+        "rpn": ("rpn 3x3 256->256 @160", 160, 256, 256, 3),
+        "stem": ("stem 7x7/2 3->64 @640", 640, 3, 64, 7),
+    }
+    names = sys.argv[1:] or list(cases)
+    for n in names:
+        c = cases[n]
+        run(*c[:5], s=2 if n == "stem" else 1)
