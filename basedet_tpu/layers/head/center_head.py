@@ -15,6 +15,7 @@ import numpy as np
 from flax import linen as nn
 
 from basedet_tpu.layers.blocks.deformable import DeformConv, ModulatedDeformConv
+from basedet_tpu.ops.subpixel import SubpixelConvTranspose2x
 from basedet_tpu.layers.common.blocks import get_norm
 from basedet_tpu.layers.precision import Conv, ConvTranspose
 
@@ -47,9 +48,13 @@ class DeconvLayer(nn.Module):
         x = get_norm("BN", self.train)()(x)
         x = jax.nn.relu(x)
         k = self.deconv_kernel
-        x = ConvTranspose(
-            self.out_channels, (k, k), strides=(2, 2),
-            padding=((1, 1), (1, 1)), use_bias=False,
+        assert k == 4, "reference CenterNet uses 4x4 deconvs"
+        # torch-parity ConvTranspose2d(4,4,s2,p1) via the sub-pixel path:
+        # exact 2H output (flax ConvTranspose pads the dilated input and
+        # yields 2H-2 — wrong output stride) and dense stride-1 MXU convs
+        # instead of the ~2.7 TF/s input-dilated lowering (ops/subpixel.py).
+        x = SubpixelConvTranspose2x(
+            self.out_channels,
             kernel_init=lambda rng, shape, dtype=jnp.float32: jnp.asarray(
                 _bilinear_upsample_kernel(k, self.out_channels), dtype
             ),

@@ -64,7 +64,8 @@ def main():
         hv = head.init(jax.random.PRNGKey(0), f5)
 
         def head_loss(v, f):
-            return jnp.sum(head.apply(v, f).astype(jnp.float32))
+            out, _ = head.apply(v, f, mutable=["batch_stats"])
+            return jnp.sum(out.astype(jnp.float32))
 
         timeit("deconv head fwd", jax.jit(head_loss), hv, f5)
         timeit("deconv head fwd+bwd",
