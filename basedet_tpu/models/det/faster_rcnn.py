@@ -96,14 +96,21 @@ class FasterRCNNModule(nn.Module):
         prev_k = m.RPN.TRAIN_PREV_NMS_TOPK if self.train else m.RPN.TEST_PREV_NMS_TOPK
         post_k = m.RPN.TRAIN_POST_NMS_TOPK if self.train else m.RPN.TEST_POST_NMS_TOPK
 
+        # stop gradients at the branch ENTRY (not on the outputs): proposals
+        # are detached either way (reference rpn.py:168), but detaching the
+        # inputs keeps the whole decode+topk+NMS out of the vjp trace, which
+        # (a) skips linearizing it and (b) lets the in-train NMS use the
+        # Pallas kernel (no JVP rule) instead of the XLA fixpoint path.
         proposals, prop_scores, prop_valid = jax.vmap(
             lambda lg, of, info: find_top_proposals_single(
                 lg, of, anchors_list, (info[0], info[1]), rpn_coder,
                 prev_k, post_k, m.RPN.NMS_THRESHOLD,
             )
-        )([x for x in flat_logits], [x for x in flat_offsets], im_info)
-        proposals = jax.lax.stop_gradient(proposals)
-        prop_valid = jax.lax.stop_gradient(prop_valid)
+        )(
+            [jax.lax.stop_gradient(x) for x in flat_logits],
+            [jax.lax.stop_gradient(x) for x in flat_offsets],
+            im_info,
+        )
 
         rcnn_cfg = m.RCNN
         pool_feats = [feats[n] for n in rcnn_cfg.IN_FEATURES]

@@ -27,10 +27,12 @@ cfg.MODEL.BATCHSIZE = B
 
 
 def timed(name, prog, *args):
+    # queue all calls, fence once: per-call scalar readback pays the ~30 ms
+    # axon round-trip per call and inflates every phase by RTT/REPS
     s = float(np.asarray(prog(*args)))
     t0 = time.perf_counter()
-    for _ in range(N_TIMED):
-        s = float(np.asarray(prog(*args)))
+    outs = [prog(*args) for _ in range(N_TIMED)]
+    s = float(np.asarray(outs[-1]))
     dt = (time.perf_counter() - t0) / N_TIMED / REPS * 1e3
     print(f"{name:44s} {dt:8.2f} ms", flush=True)
 

@@ -25,8 +25,8 @@ REPS, N_TIMED = 8, 5
 def timed(name, prog, *args):
     s = float(np.asarray(prog(*args)))
     t0 = time.perf_counter()
-    for _ in range(N_TIMED):
-        s = float(np.asarray(prog(*args)))
+    outs = [prog(*args) for _ in range(N_TIMED)]
+    s = float(np.asarray(outs[-1]))
     dt = (time.perf_counter() - t0) / N_TIMED / REPS * 1e3
     print(f"{name:44s} {dt:8.3f} ms", flush=True)
 

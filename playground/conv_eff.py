@@ -51,10 +51,15 @@ def run(name, H, ci, co, k, s=1, dtype=jnp.bfloat16):
         return l + gx.astype(jnp.float32).sum() + gw.astype(jnp.float32).sum()
 
     for mode, prog, mult in (("fwd", fwd, 1), ("f+b", fwdbwd, 3)):
+        # queue all timed calls, fence ONCE: a per-call scalar readback pays
+        # the axon tunnel round-trip (~30 ms) per call and floors every
+        # sub-5ms measurement (discovered 2026-08-17; the benchmark tool
+        # always queued, which is why its step numbers disagreed with
+        # per-call-fenced probes)
         float(np.asarray(prog(x, w)))
         t0 = time.perf_counter()
-        for _ in range(N_TIMED):
-            float(np.asarray(prog(x, w)))
+        outs = [prog(x, w) for _ in range(N_TIMED)]
+        float(np.asarray(outs[-1]))
         dt = (time.perf_counter() - t0) / N_TIMED / REPS * 1e3
         tf = gflop * mult / dt
         print(f"{name:28s} {mode}  {gflop*mult:7.1f} GF {dt:7.3f} ms "
@@ -65,13 +70,16 @@ if __name__ == "__main__":
     import sys
 
     cases = {
-        "res2": ("res2 3x3 64->64 @160", 160, 64, 64, 3),
-        "res3": ("res3 3x3 128->128 @80", 80, 128, 128, 3),
-        "res4": ("res4 3x3 256->256 @40", 40, 256, 256, 3),
-        "rpn": ("rpn 3x3 256->256 @160", 160, 256, 256, 3),
-        "stem": ("stem 7x7/2 3->64 @640", 640, 3, 64, 7),
+        "res2": ("res2 3x3 64->64 @160", 160, 64, 64, 3, 1),
+        "res3": ("res3 3x3 128->128 @80", 80, 128, 128, 3, 1),
+        "res4": ("res4 3x3 256->256 @40", 40, 256, 256, 3, 1),
+        "rpn": ("rpn 3x3 256->256 @160", 160, 256, 256, 3, 1),
+        "stem": ("stem 7x7/2 3->64 @640", 640, 3, 64, 7, 2),
+        "s2a": ("dark3 3x3/2 64->128 @160", 160, 64, 128, 3, 2),
+        "s2b": ("dark4 3x3/2 128->256 @80", 80, 128, 256, 3, 2),
+        "s2c": ("res3ds 1x1/2 256->512 @80", 80, 256, 512, 1, 2),
     }
     names = sys.argv[1:] or list(cases)
     for n in names:
         c = cases[n]
-        run(*c[:5], s=2 if n == "stem" else 1)
+        run(*c[:5], s=c[5])
