@@ -125,12 +125,29 @@ class PrefetchIterator:
         return item
 
 
+_WORKER_STATE: dict = {}
+
+
+def _pool_worker_init(dataset, transform):
+    _WORKER_STATE["dataset"] = dataset
+    _WORKER_STATE["transform"] = transform
+
+
+def _pool_load_one(i):
+    rec = _WORKER_STATE["dataset"][i]
+    tf = _WORKER_STATE["transform"]
+    return tf(rec) if tf is not None else rec
+
+
 class _MappedLoader:
     """Finite epoch iterator: sampler batches → transformed records → batch.
 
     ``num_workers > 0`` maps sample loading+augmentation over a fork-based
     process pool (the analogue of the reference's DataLoader NUM_WORKERS,
-    data/build.py; mosaic/cv2 work is GIL-bound so threads don't help)."""
+    data/build.py; mosaic/cv2 work is GIL-bound so threads don't help).
+    Workers get (dataset, transform) once via the pool initializer — mapping
+    a bound method would re-pickle the loader (and its un-picklable Pool)
+    per task."""
 
     def __init__(self, dataset, transform, sampler_iter_factory, collator,
                  num_workers: int = 0):
@@ -152,13 +169,16 @@ class _MappedLoader:
             import multiprocessing as mp
 
             ctx = mp.get_context("fork")
-            self._pool = ctx.Pool(self.num_workers)
+            self._pool = ctx.Pool(
+                self.num_workers, initializer=_pool_worker_init,
+                initargs=(self.dataset, self.transform),
+            )
         return self._pool
 
     def __iter__(self):
         for batch_idx in self.sampler_iter_factory():
             if self.num_workers > 0:
-                records = self._get_pool().map(self._load_one, batch_idx)
+                records = self._get_pool().map(_pool_load_one, batch_idx)
             else:
                 records = [self._load_one(i) for i in batch_idx]
             yield self.collator(records)
@@ -234,7 +254,7 @@ def build_yolox_train_loader(cfg, global_batch: int):
         ]
         for batch_idx in batches:
             if mapped.num_workers > 0:
-                records = mapped._get_pool().map(mapped._load_one, batch_idx)
+                records = mapped._get_pool().map(_pool_load_one, batch_idx)
             else:
                 records = [mapped._load_one(i) for i in batch_idx]
             yield collator(records)

@@ -134,3 +134,28 @@ def test_prefetch_finite_exhaust_then_dead():
     assert list(it) == [1, 2]
     with pytest.raises(StopIteration):
         next(it)
+
+
+def test_multiworker_loader_matches_inline(coco_dir):
+    """num_workers>0 must not pickle the loader (it holds the Pool) and must
+    produce the same batches as the inline path (regression: pool.map on a
+    bound method raised NotImplementedError)."""
+    img_dir, anno = coco_dir
+    ds = COCODataset(img_dir, anno)
+    transform = TransformCompose([ShortestEdgeResize(64, 128)])
+    collator = DetectionPadCollator(max_instances=10)
+
+    def sampler_factory():
+        return iter([[0, 1], [2, 3]])
+
+    inline = _MappedLoader(ds, transform, sampler_factory, collator,
+                           num_workers=0)
+    pooled = _MappedLoader(ds, transform, sampler_factory, collator,
+                           num_workers=1)
+    b_in = list(inline)
+    b_mp = list(pooled)
+    pooled._pool.terminate()
+    assert len(b_in) == len(b_mp) == 2
+    for a, b in zip(b_in, b_mp):
+        assert a["data"].shape == b["data"].shape
+        np.testing.assert_array_equal(a["im_info"], b["im_info"])
