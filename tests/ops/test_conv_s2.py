@@ -1,0 +1,48 @@
+"""conv2d_s2 custom-VJP == jax.grad of the plain stride-2 conv."""
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from basedet_tpu.ops.conv_s2 import conv2d_s2
+
+
+@pytest.mark.parametrize("k,p,H,ci,co", [
+    (3, 1, 16, 4, 8),    # CSP downsample
+    (3, 1, 17, 4, 8),    # odd input
+    (6, 2, 20, 3, 8),    # fused Focus stem
+    (7, 3, 18, 3, 8),    # ResNet stem
+    (1, 0, 12, 4, 8),    # ResNet 1x1/2 downsample (odd parities get 0 grad)
+])
+def test_grads_match_plain_conv(k, p, H, ci, co):
+    rng = np.random.RandomState(0)
+    x = jnp.asarray(rng.randn(2, H, H + 2, ci).astype(np.float32))
+    w = jnp.asarray(rng.randn(k, k, ci, co).astype(np.float32) * 0.1)
+
+    def ref(x, w):
+        return jnp.sum(jax.lax.conv_general_dilated(
+            x, w, (2, 2), [(p, p), (p, p)],
+            dimension_numbers=("NHWC", "HWIO", "NHWC"),
+        ) ** 2)
+
+    def sub(x, w):
+        return jnp.sum(conv2d_s2(x, w, (p, p)) ** 2)
+
+    np.testing.assert_allclose(
+        np.asarray(sub(x, w)), np.asarray(ref(x, w)), rtol=1e-5)
+    gx_r, gw_r = jax.grad(ref, argnums=(0, 1))(x, w)
+    gx_s, gw_s = jax.grad(sub, argnums=(0, 1))(x, w)
+    np.testing.assert_allclose(np.asarray(gx_s), np.asarray(gx_r),
+                               atol=1e-4, rtol=1e-4)
+    np.testing.assert_allclose(np.asarray(gw_s), np.asarray(gw_r),
+                               atol=1e-4, rtol=1e-4)
+
+
+def test_bf16_path():
+    rng = np.random.RandomState(1)
+    x = jnp.asarray(rng.randn(1, 8, 8, 4).astype(np.float32), jnp.bfloat16)
+    w = jnp.asarray(rng.randn(3, 3, 4, 8).astype(np.float32), jnp.bfloat16)
+    y = conv2d_s2(x, w, (1, 1))
+    assert y.dtype == jnp.bfloat16 and y.shape == (1, 4, 4, 8)
+    g = jax.grad(lambda x: conv2d_s2(x, w, (1, 1)).astype(jnp.float32).sum())(x)
+    assert g.dtype == jnp.bfloat16 and g.shape == x.shape
