@@ -48,6 +48,40 @@ def Conv(*args, **kwargs):
     from flax import linen as nn
 
     kwargs.setdefault("dtype", compute_dtype())
+    # stride-2 convs: dispatch to S2Conv (sub-pixel input gradient — XLA's
+    # input-dilated dgrad runs at a fraction of MXU rate; ops/conv_s2.py).
+    # Param tree ("kernel"/"bias", HWIO) and forward numerics are identical.
+    strides = kwargs.get("strides", args[2] if len(args) > 2 else None)
+    plain = (
+        kwargs.get("feature_group_count", 1) == 1
+        and kwargs.get("kernel_dilation") is None
+        and kwargs.get("input_dilation") is None
+    )
+    if strides in (2, (2, 2)) and plain:
+        features = args[0] if args else kwargs["features"]
+        ksize = args[1] if len(args) > 1 else kwargs["kernel_size"]
+        # padding must be an explicit int (or symmetric pairs); flax's
+        # default 'SAME' only coincides with 0 for 1x1 kernels
+        pad_ok = isinstance(kwargs.get("padding"), (int, tuple, list)) or (
+            tuple(ksize) == (1, 1) and "padding" not in kwargs
+        )
+        from basedet_tpu.ops.conv_s2 import S2Conv, use_subpixel_dgrad
+
+        if pad_ok and use_subpixel_dgrad():
+            return S2Conv(
+                features=features,
+                kernel_size=tuple(ksize),
+                padding=kwargs.get("padding", 0),
+                use_bias=kwargs.get("use_bias", True),
+                kernel_init=kwargs.get(
+                    "kernel_init", nn.initializers.lecun_normal()
+                ),
+                bias_init=kwargs.get(
+                    "bias_init", nn.initializers.zeros_init()
+                ),
+                dtype=kwargs.get("dtype"),
+                name=kwargs.get("name"),
+            )
     return nn.Conv(*args, **kwargs)
 
 

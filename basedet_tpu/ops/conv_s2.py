@@ -20,10 +20,11 @@ backward rides this.
 from __future__ import annotations
 
 import functools
-from typing import Tuple
+from typing import Any, Tuple
 
 import jax
 import jax.numpy as jnp
+from flax import linen as nn
 
 
 def _plain_conv_s2(x, w, pad: Tuple[int, int]):
@@ -111,3 +112,55 @@ def _bwd(pad, res, dy):
 
 
 conv2d_s2.defvjp(_fwd, _bwd)
+
+
+def use_subpixel_dgrad() -> bool:
+    """TPU-only dispatch (the XLA CPU dgrad is fine); BASEDET_S2_DGRAD=xla
+    forces the plain path for A/B benchmarking."""
+    import os
+
+    v = os.environ.get("BASEDET_S2_DGRAD")
+    if v == "xla":
+        return False
+    if v == "subpix":
+        return True
+    try:
+        return jax.default_backend() == "tpu"
+    except Exception:
+        return False
+
+
+class S2Conv(nn.Module):
+    """Drop-in for nn.Conv(features, (k, k), strides=(2, 2), padding=p):
+    identical params ("kernel" HWIO, optional "bias") and forward numerics;
+    backward dx via conv2d_s2's sub-pixel decomposition."""
+
+    features: int
+    kernel_size: Tuple[int, int] = (3, 3)
+    padding: Any = 0
+    use_bias: bool = True
+    kernel_init: Any = nn.initializers.lecun_normal()
+    bias_init: Any = nn.initializers.zeros_init()
+    dtype: Any = None
+
+    @nn.compact
+    def __call__(self, x):
+        kh, kw = self.kernel_size
+        assert kh == kw, "S2Conv is specialized to square kernels"
+        p = self.padding
+        pad = (p, p) if isinstance(p, int) else (p[0][0], p[1][0])
+        kernel = self.param(
+            "kernel", self.kernel_init, (kh, kw, x.shape[-1], self.features)
+        )
+        bias = (
+            self.param("bias", self.bias_init, (self.features,))
+            if self.use_bias else None
+        )
+        if self.dtype is not None:
+            x = x.astype(self.dtype)
+            kernel = kernel.astype(self.dtype)
+            bias = bias.astype(self.dtype) if bias is not None else None
+        y = conv2d_s2(x, kernel, pad)
+        if bias is not None:
+            y = y + bias
+        return y

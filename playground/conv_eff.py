@@ -66,6 +66,45 @@ def run(name, H, ci, co, k, s=1, dtype=jnp.bfloat16):
               f"{tf:6.1f} TF/s", flush=True)
 
 
+def run_dgrad_ab(name, H, ci, co, k, s=2):
+    """A/B: jax.grad of plain conv vs conv2d_s2 custom-VJP (dx+dw)."""
+    from basedet_tpu.ops.conv_s2 import conv2d_s2
+    p = (k - 1) // 2 if k != 6 else 2
+    rng = np.random.RandomState(0)
+    x = jnp.asarray(rng.randn(B, H, H, ci).astype(np.float32) * .1,
+                    jnp.bfloat16)
+    w = jnp.asarray(rng.randn(k, k, ci, co).astype(np.float32) * .01,
+                    jnp.bfloat16)
+
+    def plain(x, w):
+        return conv(x, w, s) if k != 6 else jax.lax.conv_general_dilated(
+            x, w, (2, 2), [(2, 2), (2, 2)],
+            dimension_numbers=("NHWC", "HWIO", "NHWC"))
+
+    def sub(x, w):
+        return conv2d_s2(x, w, (p, p))
+
+    for tag, op in (("plain", plain), ("subpix", sub)):
+        @jax.jit
+        def prog(x, w, op=op):
+            def loss(x, w):
+                acc = jnp.float32(0)
+                for r in range(REPS):
+                    acc += op(x + jnp.asarray(r, x.dtype), w).astype(
+                        jnp.float32).sum()
+                return acc
+            l, (gx, gw) = jax.value_and_grad(loss, argnums=(0, 1))(x, w)
+            return l + gx.astype(jnp.float32).sum() + gw.astype(
+                jnp.float32).sum()
+
+        float(np.asarray(prog(x, w)))
+        t0 = time.perf_counter()
+        outs = [prog(x, w) for _ in range(N_TIMED)]
+        float(np.asarray(outs[-1]))
+        dt = (time.perf_counter() - t0) / N_TIMED / REPS * 1e3
+        print(f"{name} f+b {tag:7s} {dt:8.3f} ms", flush=True)
+
+
 if __name__ == "__main__":
     import sys
 
@@ -79,7 +118,13 @@ if __name__ == "__main__":
         "s2b": ("dark4 3x3/2 128->256 @80", 80, 128, 256, 3, 2),
         "s2c": ("res3ds 1x1/2 256->512 @80", 80, 256, 512, 1, 2),
     }
-    names = sys.argv[1:] or list(cases)
-    for n in names:
-        c = cases[n]
-        run(*c[:5], s=c[5])
+    if sys.argv[1:] == ["dgrad"]:
+        run_dgrad_ab("dark3 3x3/2 64->128 @160", 160, 64, 128, 3)
+        run_dgrad_ab("dark4 3x3/2 128->256 @80", 80, 128, 256, 3)
+        run_dgrad_ab("stem6 6x6/2 12->32 @320", 320, 12, 32, 6)
+        run_dgrad_ab("res 1x1/2 256->512 @80", 80, 256, 512, 1)
+    else:
+        names = sys.argv[1:] or list(cases)
+        for n in names:
+            c = cases[n]
+            run(*c[:5], s=c[5])

@@ -46,3 +46,56 @@ def test_bf16_path():
     assert y.dtype == jnp.bfloat16 and y.shape == (1, 4, 4, 8)
     g = jax.grad(lambda x: conv2d_s2(x, w, (1, 1)).astype(jnp.float32).sum())(x)
     assert g.dtype == jnp.bfloat16 and g.shape == x.shape
+
+
+def test_s2conv_module_drop_in(monkeypatch):
+    """precision.Conv stride-2 dispatch: S2Conv param tree and outputs match
+    nn.Conv exactly (same init rngs); grads match too."""
+    from flax import linen as nn
+    monkeypatch.setenv("BASEDET_S2_DGRAD", "subpix")
+    from basedet_tpu.layers import precision
+
+    rng = np.random.RandomState(3)
+    x = jnp.asarray(rng.randn(2, 16, 16, 4).astype(np.float32))
+
+    ref_mod = nn.Conv(8, (3, 3), (2, 2), padding=1, use_bias=True)
+    sub_mod = precision.Conv(8, (3, 3), (2, 2), padding=1, use_bias=True)
+    assert type(sub_mod).__name__ == "S2Conv"
+
+    v_ref = ref_mod.init(jax.random.PRNGKey(7), x)
+    v_sub = sub_mod.init(jax.random.PRNGKey(7), x)
+    assert jax.tree_util.tree_structure(v_ref) == \
+        jax.tree_util.tree_structure(v_sub)
+    for a, b in zip(jax.tree_util.tree_leaves(v_ref),
+                    jax.tree_util.tree_leaves(v_sub)):
+        assert a.shape == b.shape
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b))
+
+    y_ref = ref_mod.apply(v_ref, x)
+    y_sub = sub_mod.apply(v_ref, x)  # same variables
+    np.testing.assert_allclose(np.asarray(y_sub), np.asarray(y_ref),
+                               atol=1e-5)
+
+    g_ref = jax.grad(lambda v: (ref_mod.apply(v, x) ** 2).sum())(v_ref)
+    g_sub = jax.grad(lambda v: (sub_mod.apply(v, x) ** 2).sum())(v_ref)
+    for a, b in zip(jax.tree_util.tree_leaves(g_ref),
+                    jax.tree_util.tree_leaves(g_sub)):
+        np.testing.assert_allclose(np.asarray(b), np.asarray(a), atol=1e-4)
+
+
+def test_s2conv_1x1_same_padding_equivalence(monkeypatch):
+    """1x1/s2 with flax default 'SAME' == S2Conv pad 0 (downsample convs)."""
+    from flax import linen as nn
+    monkeypatch.setenv("BASEDET_S2_DGRAD", "subpix")
+    from basedet_tpu.layers import precision
+
+    for H in (16, 17):
+        x = jnp.asarray(
+            np.random.RandomState(4).randn(1, H, H, 4).astype(np.float32))
+        ref_mod = nn.Conv(6, (1, 1), (2, 2), use_bias=False)
+        sub_mod = precision.Conv(6, (1, 1), (2, 2), use_bias=False)
+        assert type(sub_mod).__name__ == "S2Conv"
+        v = ref_mod.init(jax.random.PRNGKey(0), x)
+        np.testing.assert_allclose(
+            np.asarray(sub_mod.apply(v, x)), np.asarray(ref_mod.apply(v, x)),
+            atol=1e-6)
