@@ -103,11 +103,40 @@ def _fwd(x, w, pad):
     return _plain_conv_s2(x, w, pad), (x, w)
 
 
+def _wgrad_subpixel(x, dy, k: int, pad: Tuple[int, int]):
+    """dw[u, v, ci, co] = Σ_{b,i,j} x[b, 2i+u−p, 2j+v−p, ci] · dy[b,i,j,co]
+    as k² dense einsums over stride-2 slices of the padded input (XLA's own
+    wgrad dilates dy by 2 instead). Same FLOPs, all MXU-shaped."""
+    p = pad[0]
+    B, Ho, Wo, Co = dy.shape
+    xp = jnp.pad(x, ((0, 0), (p, p), (p, p), (0, 0)))
+    rows = []
+    for u in range(k):
+        cols = []
+        for v in range(k):
+            xs = jax.lax.slice(
+                xp, (0, u, v, 0),
+                (B, u + 2 * Ho - 1, v + 2 * Wo - 1, x.shape[3]),
+                (1, 2, 2, 1),
+            )  # (B, Ho, Wo, Ci)
+            cols.append(jnp.einsum(
+                "bijc,bijo->co", xs, dy,
+                preferred_element_type=jnp.float32,
+            ).astype(x.dtype))
+        rows.append(jnp.stack(cols, axis=0))
+    return jnp.stack(rows, axis=0)  # (k, k, Ci, Co)
+
+
 def _bwd(pad, res, dy):
+    import os
+
     x, w = res
     dx = _dgrad_subpixel(dy, w, pad, x.shape)
-    _, w_vjp = jax.vjp(lambda ww: _plain_conv_s2(x, ww, pad), w)
-    (dw,) = w_vjp(dy)
+    if os.environ.get("BASEDET_S2_WGRAD") == "subpix":
+        dw = _wgrad_subpixel(x, dy, w.shape[0], pad)
+    else:
+        _, w_vjp = jax.vjp(lambda ww: _plain_conv_s2(x, ww, pad), w)
+        (dw,) = w_vjp(dy)
     return dx, dw
 
 

@@ -99,3 +99,24 @@ def test_s2conv_1x1_same_padding_equivalence(monkeypatch):
         np.testing.assert_allclose(
             np.asarray(sub_mod.apply(v, x)), np.asarray(ref_mod.apply(v, x)),
             atol=1e-6)
+
+
+def test_subpix_wgrad_matches(monkeypatch):
+    monkeypatch.setenv("BASEDET_S2_WGRAD", "subpix")
+    rng = np.random.RandomState(5)
+    for k, p, H in [(3, 1, 14), (6, 2, 20), (1, 0, 12), (7, 3, 18)]:
+        x = jnp.asarray(rng.randn(2, H, H + 2, 3).astype(np.float32))
+        w = jnp.asarray(rng.randn(k, k, 3, 5).astype(np.float32) * 0.1)
+
+        def ref(w):
+            return jnp.sum(jax.lax.conv_general_dilated(
+                x, w, (2, 2), [(p, p), (p, p)],
+                dimension_numbers=("NHWC", "HWIO", "NHWC")) ** 2)
+
+        def sub(w):
+            return jnp.sum(conv2d_s2(x, w, (p, p)) ** 2)
+
+        gw_r = jax.grad(ref)(w)
+        gw_s = jax.grad(sub)(w)
+        np.testing.assert_allclose(np.asarray(gw_s), np.asarray(gw_r),
+                                   atol=1e-4, rtol=1e-4)
