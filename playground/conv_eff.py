@@ -118,7 +118,41 @@ if __name__ == "__main__":
         "s2b": ("dark4 3x3/2 128->256 @80", 80, 128, 256, 3, 2),
         "s2c": ("res3ds 1x1/2 256->512 @80", 80, 256, 512, 1, 2),
     }
-    if sys.argv[1:] == ["dgrad"]:
+    if sys.argv[1:] == ["maxpool"]:
+        import flax.linen as fnn
+        rng = np.random.RandomState(0)
+        x = jnp.asarray(rng.randn(B, 320, 320, 64).astype(np.float32) * .1,
+                        jnp.bfloat16)
+
+        @jax.jit
+        def mp_fwd(x):
+            acc = jnp.float32(0)
+            for r in range(REPS):
+                acc += fnn.max_pool(
+                    x + jnp.asarray(r, x.dtype), (3, 3), strides=(2, 2),
+                    padding=((1, 1), (1, 1))).astype(jnp.float32).sum()
+            return acc
+
+        @jax.jit
+        def mp_fb(x):
+            def loss(x):
+                acc = jnp.float32(0)
+                for r in range(REPS):
+                    acc += fnn.max_pool(
+                        x + jnp.asarray(r, x.dtype), (3, 3), strides=(2, 2),
+                        padding=((1, 1), (1, 1))).astype(jnp.float32).sum()
+                return acc
+            l, g = jax.value_and_grad(loss)(x)
+            return l + g.astype(jnp.float32).sum()
+
+        for tag, prog in (("fwd", mp_fwd), ("f+b", mp_fb)):
+            float(np.asarray(prog(x)))
+            t0 = time.perf_counter()
+            outs = [prog(x) for _ in range(N_TIMED)]
+            float(np.asarray(outs[-1]))
+            dt = (time.perf_counter() - t0) / N_TIMED / REPS * 1e3
+            print(f"maxpool3x3/2 64ch @320 {tag} {dt:8.3f} ms", flush=True)
+    elif sys.argv[1:] == ["dgrad"]:
         run_dgrad_ab("dark3 3x3/2 64->128 @160", 160, 64, 128, 3)
         run_dgrad_ab("dark4 3x3/2 128->256 @80", 80, 128, 256, 3)
         run_dgrad_ab("stem6 6x6/2 12->32 @320", 320, 12, 32, 6)
