@@ -29,8 +29,8 @@ def timeit(name, fn, *args):
     out = fn(*args)
     float(np.asarray(jax.tree_util.tree_leaves(out)[0]).reshape(-1)[0])
     t0 = time.perf_counter()
-    for _ in range(ITERS):
-        out = fn(*args)
+    outs = [fn(*args) for _ in range(ITERS)]  # queued; fence once
+    out = outs[-1]
     float(np.asarray(jax.tree_util.tree_leaves(out)[0]).reshape(-1)[0])
     dt = (time.perf_counter() - t0) / ITERS * 1e3
     print(f"{name:26s} {dt:8.2f} ms", flush=True)
