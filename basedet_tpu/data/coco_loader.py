@@ -114,8 +114,15 @@ class PrefetchIterator:
                 break
             except queue.Empty:
                 if not self._thread.is_alive():
-                    self._dead = True
-                    raise StopIteration from None
+                    # final drain: the producer may have enqueued its last
+                    # item (possibly a _WorkerError) between our timeout and
+                    # its exit — don't silently drop it as a clean epoch end
+                    try:
+                        item = self._q.get_nowait()
+                        break
+                    except queue.Empty:
+                        self._dead = True
+                        raise StopIteration from None
         if item is StopIteration:
             self._dead = True
             raise StopIteration

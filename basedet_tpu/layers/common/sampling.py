@@ -23,7 +23,10 @@ def sample_mask(
     argsort — on TPU two 76k-element argsorts cost ~10 ms/batch in the RPN
     (measured v5e, playground/ablate_frcnn_phases.py) while top_k(76k, 256)
     is ~0.2 ms. Exact same distribution; on an f32 noise collision at the
-    threshold (p ≈ N/2²⁴) one extra element may be kept.
+    threshold one extra element may be kept — at N=76k anchors that is
+    p ≈ N/2²⁴ ≈ 0.5% of calls (a few images per epoch carry quota+1
+    samples; loss normalizers divide by the realized count, so the effect
+    is one extra sampled anchor, not a scaling bug).
     """
     n = candidates.shape[0]
     noise = jax.random.uniform(rng, (n,))

@@ -17,7 +17,7 @@ from flax import linen as nn
 from basedet_tpu.layers.blocks.deformable import DeformConv, ModulatedDeformConv
 from basedet_tpu.ops.subpixel import SubpixelConvTranspose2x
 from basedet_tpu.layers.common.blocks import get_norm
-from basedet_tpu.layers.precision import Conv, ConvTranspose
+from basedet_tpu.layers.precision import Conv
 
 
 def _bilinear_upsample_kernel(k: int, channels: int) -> np.ndarray:

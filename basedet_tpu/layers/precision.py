@@ -53,21 +53,26 @@ def Conv(*args, **kwargs):
     # Param tree ("kernel"/"bias", HWIO) and forward numerics are identical.
     strides = kwargs.get("strides", args[2] if len(args) > 2 else None)
     plain = (
-        kwargs.get("feature_group_count", 1) == 1
+        len(args) <= 3  # padding & co. must come as keywords to intercept
+        and kwargs.get("feature_group_count", 1) == 1
         and kwargs.get("kernel_dilation") is None
         and kwargs.get("input_dilation") is None
     )
     if strides in (2, (2, 2)) and plain:
         features = args[0] if args else kwargs["features"]
         ksize = args[1] if len(args) > 1 else kwargs["kernel_size"]
-        # padding must be an explicit int (or symmetric pairs); flax's
-        # default 'SAME' only coincides with 0 for 1x1 kernels
-        pad_ok = isinstance(kwargs.get("padding"), (int, tuple, list)) or (
-            tuple(ksize) == (1, 1) and "padding" not in kwargs
+        square = (
+            isinstance(ksize, (tuple, list)) and len(ksize) == 2
+            and ksize[0] == ksize[1]
+        )
+        # padding must be an explicit symmetric int; flax's default 'SAME'
+        # only coincides with 0 for 1x1 kernels
+        pad_ok = isinstance(kwargs.get("padding"), int) or (
+            square and tuple(ksize) == (1, 1) and "padding" not in kwargs
         )
         from basedet_tpu.ops.conv_s2 import S2Conv, use_subpixel_dgrad
 
-        if pad_ok and use_subpixel_dgrad():
+        if square and pad_ok and use_subpixel_dgrad():
             return S2Conv(
                 features=features,
                 kernel_size=tuple(ksize),

@@ -177,7 +177,11 @@ class S2Conv(nn.Module):
         kh, kw = self.kernel_size
         assert kh == kw, "S2Conv is specialized to square kernels"
         p = self.padding
-        pad = (p, p) if isinstance(p, int) else (p[0][0], p[1][0])
+        assert isinstance(p, int), (
+            "S2Conv takes a symmetric int padding (the precision.Conv "
+            f"dispatch guards this); got {p!r}"
+        )
+        pad = (p, p)
         kernel = self.param(
             "kernel", self.kernel_init, (kh, kw, x.shape[-1], self.features)
         )

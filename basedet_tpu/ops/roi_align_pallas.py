@@ -325,12 +325,20 @@ def pool_rois_multilevel(
     import os
 
     force = os.environ.get("BASEDET_ROIALIGN_BACKEND")
-    usable = (
+    supported = (
         jax.default_backend() == "tpu"
         and features[0].dtype == jnp.bfloat16
         and features[0].shape[-1] % 128 == 0
-        and force != "xla"
     )
+    if force == "pallas" and not supported:
+        # fail loudly: silently timing the XLA path as "pallas" corrupts A/Bs
+        raise ValueError(
+            "BASEDET_ROIALIGN_BACKEND=pallas but the fused kernel needs "
+            "TPU + bf16 features + C % 128 == 0 "
+            f"(backend={jax.default_backend()}, dtype={features[0].dtype}, "
+            f"C={features[0].shape[-1]})"
+        )
+    usable = supported and force != "xla"
     if not usable:
         return multilevel_roi_align_batched(
             list(features), rois, strides, output_size

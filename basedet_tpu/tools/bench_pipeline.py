@@ -33,7 +33,6 @@ def main(args=None):
     args = parser.parse_args(args)
 
     from basedet_tpu.tools.sanity_e2e import make_synthetic_coco
-    from basedet_tpu.utils import ConfigDict
 
     (train_imgs, train_anno), _ = make_synthetic_coco(
         args.out, n_train=args.images, n_val=2, size=args.size

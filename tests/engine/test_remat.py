@@ -29,14 +29,14 @@ def _setup(remat):
     return step, state, batch
 
 
-@pytest.mark.parametrize("remat", [False, True, "selective"])
-def test_remat_modes_agree(remat):
-    step, state, batch = _setup(remat)
-    _, metrics = step(state, batch)
-    loss = float(metrics["total_loss"])
-    assert np.isfinite(loss)
-    if not hasattr(test_remat_modes_agree, "_ref"):
-        test_remat_modes_agree._ref = loss
-    else:
-        np.testing.assert_allclose(loss, test_remat_modes_agree._ref,
-                                   rtol=1e-4)
+def test_remat_modes_agree():
+    # one test, all modes: a function-attribute reference across pytest
+    # parametrizations silently skips the agreement check under -k / xdist
+    losses = {}
+    for remat in (False, True, "selective"):
+        step, state, batch = _setup(remat)
+        _, metrics = step(state, batch)
+        losses[remat] = float(metrics["total_loss"])
+        assert np.isfinite(losses[remat])
+    np.testing.assert_allclose(losses[True], losses[False], rtol=1e-4)
+    np.testing.assert_allclose(losses["selective"], losses[False], rtol=1e-4)
