@@ -153,10 +153,10 @@ def use_subpixel_dgrad() -> bool:
         return False
     if v == "subpix":
         return True
-    try:
-        return jax.default_backend() == "tpu"
-    except Exception:
-        return False
+    # default OFF until the TPU A/B (playground/conv_eff.py dgrad) lands —
+    # the dgrad pathology is probed but the subpix path is not yet measured
+    # in-train, and this dispatch sits under the headline YOLOX benchmark.
+    return False
 
 
 class S2Conv(nn.Module):
