@@ -29,8 +29,6 @@ import jax
 import jax.numpy as jnp
 from flax import linen as nn
 
-from basedet_tpu.layers.precision import compute_dtype
-
 
 def conv_transpose_s2_subpixel(x: jnp.ndarray, w: jnp.ndarray) -> jnp.ndarray:
     """x (B, H, W, Ci); w (4, 4, Ci, Co) HWIO, **torch semantics**: equals
@@ -72,6 +70,11 @@ class SubpixelConvTranspose2x(nn.Module):
         kernel = self.param(
             "kernel", self.kernel_init, (4, 4, x.shape[-1], self.features)
         )
+        # late import: ops.subpixel is imported by layers (head modules), so
+        # a top-level layers.precision import would be circular via
+        # layers/__init__
+        from basedet_tpu.layers.precision import compute_dtype
+
         dt = compute_dtype()
         if dt is not None:
             x = x.astype(dt)
