@@ -17,5 +17,9 @@ timeout 900 python playground/conv_eff.py maxpool
 timeout 1800 python playground/yolox_remat_bench.py 128 none
 BASEDET_S2_DGRAD=subpix timeout 1800 python playground/yolox_remat_bench.py 128 none
 
+# 3b. maxpool bwd A/B in a RetinaNet-ish trunk context
+BASEDET_MAXPOOL_BWD=subpix timeout 1200 python -m basedet_tpu.tools.benchmark --models RetinaNet --modes train --amp
+timeout 1200 python -m basedet_tpu.tools.benchmark --models RetinaNet --modes train --amp
+
 # 4. per-stage YOLOX block decomposition (queued timing)
 timeout 1800 python playground/ablate_yolox_blocks.py
