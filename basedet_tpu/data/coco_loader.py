@@ -29,7 +29,7 @@ class _WorkerError:
         self.exc = exc
 
 
-def _close_impl(stop: threading.Event, q: queue.Queue):
+def _close_impl(stop: threading.Event, q: queue.Queue, on_close=None):
     """Stop the producer cooperatively and drain the queue. Module-level so
     weakref.finalize holds no reference back to the iterator."""
     stop.set()
@@ -38,6 +38,11 @@ def _close_impl(stop: threading.Event, q: queue.Queue):
             q.get_nowait()
     except queue.Empty:
         pass
+    if on_close is not None:
+        try:
+            on_close()
+        except Exception:
+            pass
 
 
 class PrefetchIterator:
@@ -51,7 +56,8 @@ class PrefetchIterator:
     weakref finalizer at GC/interpreter exit) stops the thread cooperatively
     so teardown doesn't kill it mid-C++ call."""
 
-    def __init__(self, make_iter, depth: int = 2, infinite: bool = True):
+    def __init__(self, make_iter, depth: int = 2, infinite: bool = True,
+                 on_close=None):
         self._make_iter = make_iter
         self._depth = depth
         self._infinite = infinite
@@ -62,8 +68,11 @@ class PrefetchIterator:
         self._thread.start()
         # weakref-based finalizer: unlike atexit.register(self.close), this
         # does not keep the iterator (and its queued batches) alive for the
-        # life of the interpreter.
-        self._finalizer = weakref.finalize(self, _close_impl, self._stop, self._q)
+        # life of the interpreter. on_close (e.g. worker-pool terminate) runs
+        # after the queue is drained.
+        self._finalizer = weakref.finalize(
+            self, _close_impl, self._stop, self._q, on_close
+        )
 
     def _put(self, item) -> bool:
         """Blocking put that aborts when close() was called."""
@@ -138,6 +147,17 @@ _WORKER_STATE: dict = {}
 def _pool_worker_init(dataset, transform):
     _WORKER_STATE["dataset"] = dataset
     _WORKER_STATE["transform"] = transform
+    # Fork-based workers inherit the parent's global RNG state; without a
+    # per-worker reseed every worker draws the SAME mosaic companions /
+    # affine / flip / HSV params (cf. torch DataLoader worker seeding).
+    import os
+    import random as _random
+
+    import numpy as _np
+
+    seed = int.from_bytes(os.urandom(4), "little") ^ os.getpid()
+    _random.seed(seed)
+    _np.random.seed(seed % (2 ** 32))
 
 
 def _pool_load_one(i):
@@ -182,6 +202,12 @@ class _MappedLoader:
             )
         return self._pool
 
+    def close(self):
+        if self._pool is not None:
+            self._pool.terminate()
+            self._pool.join()
+            self._pool = None
+
     def __iter__(self):
         for batch_idx in self.sampler_iter_factory():
             if self.num_workers > 0:
@@ -213,7 +239,9 @@ def build_coco_train_loader(cfg, global_batch: int, with_mask: bool = False):
         dataset, transform, lambda: iter(sampler), collator,
         num_workers=cfg.DATA.get("NUM_WORKERS", 0),
     )
-    return PrefetchIterator(lambda: iter(loader), depth=2, infinite=True)
+    return PrefetchIterator(
+        lambda: iter(loader), depth=2, infinite=True, on_close=loader.close
+    )
 
 
 def build_yolox_train_loader(cfg, global_batch: int):
@@ -266,7 +294,9 @@ def build_yolox_train_loader(cfg, global_batch: int):
                 records = [mapped._load_one(i) for i in batch_idx]
             yield collator(records)
 
-    loader = PrefetchIterator(epoch_iter, depth=2, infinite=True)
+    loader = PrefetchIterator(
+        epoch_iter, depth=2, infinite=True, on_close=mapped.close
+    )
     loader.mosaic_dataset = mosaic_ds
     return loader
 

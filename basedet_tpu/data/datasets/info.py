@@ -40,4 +40,6 @@ def register_dataset(name: str, images_dir: str, anno_path: str) -> None:
     """Register a dataset by explicit paths (absolute paths bypass the data
     root — os.path.join semantics). Idempotent re-registration allowed for
     tools/tests."""
-    registers.datasets_info._map[name] = (images_dir, anno_path)
+    registers.datasets_info.register(
+        (images_dir, anno_path), name=name, overwrite=True
+    )

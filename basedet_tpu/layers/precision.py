@@ -52,11 +52,19 @@ def Conv(*args, **kwargs):
     # input-dilated dgrad runs at a fraction of MXU rate; ops/conv_s2.py).
     # Param tree ("kernel"/"bias", HWIO) and forward numerics are identical.
     strides = kwargs.get("strides", args[2] if len(args) > 2 else None)
+    # any kwarg outside the set S2Conv forwards (e.g. param_dtype, precision)
+    # must defeat the dispatch, not be silently dropped
+    _handled = {
+        "features", "kernel_size", "strides", "padding", "use_bias",
+        "kernel_init", "bias_init", "dtype", "name",
+        "feature_group_count", "kernel_dilation", "input_dilation",
+    }
     plain = (
         len(args) <= 3  # padding & co. must come as keywords to intercept
         and kwargs.get("feature_group_count", 1) == 1
         and kwargs.get("kernel_dilation") is None
         and kwargs.get("input_dilation") is None
+        and all(k in _handled for k in kwargs)
     )
     if strides in (2, (2, 2)) and plain:
         features = args[0] if args else kwargs["features"]

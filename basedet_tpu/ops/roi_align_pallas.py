@@ -156,20 +156,28 @@ def _level_call_fwd(f, py, px, mask, interpret: bool):
         o_blk = 3 * G * ph * pw * CT * 4  # f32 out acc + transpose + out
         return f_blk + a_blk + o_blk
 
-    n_split = 1
-    while cost(H // n_split) > _FWD_BUDGET and H % (n_split * 2) == 0:
-        n_split *= 2
-    if n_split == 1:
+    hs = _chunk_h(H, lambda h: cost(h) <= _FWD_BUDGET)
+    if hs == H:
         return _level_call_fwd_part(f, py, px, mask, interpret)
-    hs = H // n_split
     out = None
-    for s in range(n_split):
+    for s in range(0, H, hs):
+        e = min(s + hs, H)
         o = _level_call_fwd_part(
-            f[:, s * hs:(s + 1) * hs], py[..., s * hs:(s + 1) * hs], px,
-            mask, interpret,
+            f[:, s:e], py[..., s:e], px, mask, interpret,
         )
         out = o if out is None else out + o
     return out
+
+
+def _chunk_h(H: int, fits) -> int:
+    """Largest ceil-div chunk size whose working set fits the VMEM budget.
+    Non-power-of-two H (eval shortest-edge buckets, e.g. P2 H=200) gets an
+    uneven final chunk instead of stalling above the 16 MB scoped-VMEM limit
+    when no power-of-two divisor exists."""
+    n = 1
+    while not fits(-(-H // n)) and n < H:
+        n += 1
+    return -(-H // n)
 
 
 def _level_call_fwd_part(f, py, px, mask, interpret: bool):
@@ -216,22 +224,16 @@ def _level_call_bwd(grads, f_shape, f_dtype, py, px, mask, interpret: bool):
     VMEM accumulator stays under budget (P2 at CT=128 would need 13 MB)."""
     B, H, W, C = f_shape
     CT = _ct_for(C, f_dtype)
-    n_split = 1
-    while (
-        (H // n_split) * W * CT * 4 > _ACC_BUDGET
-        and H % (n_split * 2) == 0
-    ):
-        n_split *= 2
-    if n_split == 1:
+    hs = _chunk_h(H, lambda h: h * W * CT * 4 <= _ACC_BUDGET)
+    if hs == H:
         return _level_call_bwd_part(grads, f_shape, f_dtype, py, px, mask,
                                     interpret)
-    hs = H // n_split
     parts = [
         _level_call_bwd_part(
-            grads, (B, hs, W, C), f_dtype,
-            py[:, :, :, s * hs:(s + 1) * hs], px, mask, interpret,
+            grads, (B, min(s + hs, H) - s, W, C), f_dtype,
+            py[:, :, :, s:min(s + hs, H)], px, mask, interpret,
         )
-        for s in range(n_split)
+        for s in range(0, H, hs)
     ]
     return jnp.concatenate(parts, axis=1)
 

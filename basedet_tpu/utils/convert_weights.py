@@ -27,10 +27,20 @@ def _to_numpy(x) -> np.ndarray:
     return np.asarray(x)
 
 
-def convert_torch_style_state(state: Mapping) -> Dict[str, np.ndarray]:
+def convert_torch_style_state(
+    state: Mapping, deconv_keys=()
+) -> Dict[str, np.ndarray]:
     """Normalize a torch/MegEngine flat state dict into HWIO/flax layout
-    with FrozenBN-style key names."""
+    with FrozenBN-style key names.
+
+    ``deconv_keys``: iterable of key prefixes (or substrings) naming
+    ConvTranspose2d modules. Their 4-D weights are (Ci, Co, kh, kw) — NOT
+    OIHW — so they need transpose(2, 3, 0, 1), not (2, 3, 1, 0). CenterNet
+    zoo deconvs are square-channel (Ci == Co), so the wrong transpose would
+    load silently with swapped I/O axes.
+    """
     state = unwarp_ckpt(state)
+    deconv_keys = tuple(deconv_keys)
     # modules with running stats are BN — their (1, C, 1, 1)-shaped
     # MegEngine weight/bias must NOT take the conv OIHW branch
     bn_prefixes = {
@@ -50,8 +60,12 @@ def convert_torch_style_state(state: Mapping) -> Dict[str, np.ndarray]:
             out[k] = arr
             continue
         if arr.ndim == 4 and k.endswith("/weight"):
-            # conv OIHW → HWIO
-            arr = arr.transpose(2, 3, 1, 0)
+            if any(d in key for d in deconv_keys):
+                # ConvTranspose2d (Ci, Co, kh, kw) → HWIO
+                arr = arr.transpose(2, 3, 0, 1)
+            else:
+                # conv OIHW → HWIO
+                arr = arr.transpose(2, 3, 1, 0)
             k = k[: -len("/weight")] + "/kernel"
         elif arr.ndim == 2 and k.endswith("/weight"):
             arr = arr.T
@@ -104,7 +118,10 @@ def convert_reference_detector_state(state: Mapping) -> Dict[str, np.ndarray]:
         # flatten remaining Sequential numeric indices: name.N. → name_N.
         k = re.sub(r"\.(\d+)\.", r"_\1.", k)
         renamed[k] = val
-    return convert_torch_style_state(renamed)
+    # reference CenterNet deconvs are named up_sample
+    # (reference layers/head/center_head.py:33: self.up_sample =
+    # M.ConvTranspose2d(...)) — (Ci, Co, kh, kw) layout
+    return convert_torch_style_state(renamed, deconv_keys=("up_sample",))
 
 
 def load_reference_checkpoint(variables: Any, state: Mapping, strict=False,

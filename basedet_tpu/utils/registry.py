@@ -22,18 +22,20 @@ class Registry:
     def name(self) -> str:
         return self._name
 
-    def register(self, obj: Optional[Any] = None, name: Optional[str] = None):
-        """Use as ``@reg.register()`` decorator or ``reg.register(obj)``."""
+    def register(self, obj: Optional[Any] = None, name: Optional[str] = None,
+                 overwrite: bool = False):
+        """Use as ``@reg.register()`` decorator or ``reg.register(obj)``.
+        ``overwrite=True`` allows idempotent re-registration (tools/tests)."""
         if obj is None:
             def deco(o, _name=name):
-                self._do_register(_name or o.__name__, o)
+                self._do_register(_name or o.__name__, o, overwrite)
                 return o
             return deco
-        self._do_register(name or obj.__name__, obj)
+        self._do_register(name or obj.__name__, obj, overwrite)
         return obj
 
-    def _do_register(self, name: str, obj: Any) -> None:
-        if name in self._map and self._map[name] is not obj:
+    def _do_register(self, name: str, obj: Any, overwrite: bool = False) -> None:
+        if not overwrite and name in self._map and self._map[name] is not obj:
             raise KeyError(f"{name!r} already registered in registry {self._name!r}")
         self._map[name] = obj
 

@@ -154,8 +154,55 @@ def test_multiworker_loader_matches_inline(coco_dir):
                            num_workers=1)
     b_in = list(inline)
     b_mp = list(pooled)
-    pooled._pool.terminate()
+    pooled.close()
+    assert pooled._pool is None  # close() terminates + drops the pool
     assert len(b_in) == len(b_mp) == 2
     for a, b in zip(b_in, b_mp):
         assert a["data"].shape == b["data"].shape
         np.testing.assert_array_equal(a["im_info"], b["im_info"])
+
+
+def _rng_probe(_):
+    import random
+
+    import numpy as np
+
+    return (random.random(), float(np.random.rand()))
+
+
+def test_pool_workers_reseeded(coco_dir):
+    """Fork workers must NOT inherit identical RNG state: with 2 workers the
+    (random, np.random) draws must differ between workers, else every worker
+    replays the same mosaic/affine/HSV sequence."""
+    import random
+
+    import numpy as np
+
+    from basedet_tpu.data.coco_loader import _MappedLoader
+
+    random.seed(0)
+    np.random.seed(0)
+    img_dir, anno = coco_dir
+    ds = COCODataset(img_dir, anno)
+    loader = _MappedLoader(ds, None, None, None, num_workers=2)
+    pool = loader._get_pool()
+    try:
+        draws = set(pool.map(_rng_probe, range(2), chunksize=1))
+        # both workers drew; identical inherited state would collapse the set
+        assert len(draws) == 2
+        # and neither replays the parent's post-seed sequence
+        parent = (random.random(), float(np.random.rand()))
+        assert parent not in draws
+    finally:
+        loader.close()
+
+
+def test_prefetch_close_runs_on_close():
+    from basedet_tpu.data.coco_loader import PrefetchIterator
+
+    closed = []
+    it = PrefetchIterator(lambda: iter([1]), infinite=False,
+                          on_close=lambda: closed.append(True))
+    assert next(it) == 1
+    it.close()
+    assert closed == [True]

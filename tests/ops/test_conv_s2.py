@@ -101,6 +101,23 @@ def test_s2conv_1x1_same_padding_equivalence(monkeypatch):
             atol=1e-6)
 
 
+def test_s2conv_dispatch_defeated_by_unhandled_kwargs(monkeypatch):
+    """kwargs S2Conv can't forward (param_dtype, precision, ...) must defeat
+    the dispatch (fall through to nn.Conv), not be silently dropped."""
+    monkeypatch.setenv("BASEDET_S2_DGRAD", "subpix")
+    import jax.lax
+
+    from basedet_tpu.layers import precision
+
+    mod = precision.Conv(8, (3, 3), (2, 2), padding=1,
+                         param_dtype=jnp.bfloat16)
+    assert type(mod).__name__ == "Conv"
+    assert mod.param_dtype == jnp.bfloat16
+    mod2 = precision.Conv(8, (3, 3), (2, 2), padding=1,
+                          precision=jax.lax.Precision.HIGHEST)
+    assert type(mod2).__name__ == "Conv"
+
+
 def test_subpix_wgrad_matches(monkeypatch):
     monkeypatch.setenv("BASEDET_S2_WGRAD", "subpix")
     rng = np.random.RandomState(5)

@@ -135,3 +135,23 @@ def test_value_placement_and_layout(loaded):
         np.asarray(flat["params/head/bbox_pred/bias"])[0]
         == val("head.bbox_pred.bias")
     )
+
+
+def test_centernet_deconv_transpose_layout():
+    """ConvTranspose2d weights are (Ci, Co, kh, kw), not OIHW; with the
+    square-channel CenterNet deconvs (Ci == Co) the wrong transpose would
+    load silently with I/O swapped. The converter must use (2, 3, 0, 1)
+    for up_sample keys (reference layers/head/center_head.py:33)."""
+    ci = co = 4
+    w = np.arange(ci * co * 4 * 4, dtype=np.float32).reshape(ci, co, 4, 4)
+    state = {
+        "upsample.deconv1.up_sample.weight": w,
+        # a plain conv of the same shape must still take the OIHW branch
+        "upsample.deconv1.dcn.weight": w.copy(),
+    }
+    converted = convert_reference_detector_state(state)
+    got_deconv = converted["upsample/deconv1/up_sample/kernel"]
+    got_conv = converted["upsample/deconv1/dcn/kernel"]
+    np.testing.assert_array_equal(got_deconv, w.transpose(2, 3, 0, 1))
+    np.testing.assert_array_equal(got_conv, w.transpose(2, 3, 1, 0))
+    assert not np.array_equal(got_deconv, got_conv)
