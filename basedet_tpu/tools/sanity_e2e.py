@@ -84,18 +84,31 @@ def _make_cfg(model: str, args):
         cfg.MODEL.TRANSFORMER.NUM_ENCODERS = 2
         cfg.MODEL.TRANSFORMER.NUM_DECODERS = 2
         cfg.MODEL.NUM_QUERIES = 16
+    elif model == "yolox":
+        cfg = C.YOLOXNanoConfig()
+        s = cfg.AUG.TRAIN_SETTING
+        s.INPUT_SIZE = (args.size, args.size)
+        # pin the multiscale schedule to one size (one compiled step)
+        s.MULTISCALE_RANGE = (args.size // 32, args.size // 32)
+        cfg.TEST.IMG_MIN_SIZE = cfg.TEST.IMG_MAX_SIZE = args.size
+        cfg.TEST.CLS_THRESHOLD = 0.05
+        cfg.SOLVER.WARM_EPOCH = None
+        cfg.SOLVER.BASIC_LR = 0.02 / 64
+        # the cosine schedule's no-aug tail must fit the short run
+        cfg.SOLVER.EXTRA_LR_ARGS = dict(NO_AUG_EPOCH=1, MIN_LR_RATIO=0.05)
     else:
         raise ValueError(model)
-    cfg.MODEL.BACKBONE.NAME = "resnet18"
-    # from-scratch training needs real (trainable) BN — FrozenBN with init
-    # statistics is an identity transform (the reference always loads
-    # ImageNet stats into FrozenBN; no pretrained weights exist here)
-    cfg.MODEL.BACKBONE.NORM = "BN"
-    cfg.MODEL.BACKBONE.FREEZE_AT = 0
+    if model != "yolox":
+        cfg.MODEL.BACKBONE.NAME = "resnet18"
+        # from-scratch training needs real (trainable) BN — FrozenBN with
+        # init statistics is an identity transform (the reference always
+        # loads ImageNet stats into FrozenBN; no pretrained weights here)
+        cfg.MODEL.BACKBONE.NORM = "BN"
+        cfg.MODEL.BACKBONE.FREEZE_AT = 0
     cfg.MODEL.BATCHSIZE = args.batch
     cfg.DATA.NUM_CLASSES = 3
     cfg.DATA.MAX_INSTANCES = 8
-    if model != "detr":
+    if model not in ("detr", "yolox"):
         cfg.SOLVER.BASIC_LR = 0.01 / 16
     cfg.SOLVER.WARM_ITERS = 100
     cfg.TRAINER.GRAD_CLIP = dict(
@@ -123,7 +136,7 @@ def main(args=None):
 
     if args.model == "all":
         out = {}
-        for name in ("retinanet", "faster_rcnn", "detr"):
+        for name in ("retinanet", "faster_rcnn", "detr", "yolox"):
             out[name] = _run_one(name, args)
         print(json.dumps({
             m: {"AP": r.get("AP"), "AP50": r.get("AP50")}
@@ -162,23 +175,38 @@ def _run_one(model_name: str, args):
     variables = model.init_variables(
         jax.random.PRNGKey(0), image_size=(args.size, args.size)
     )
-    state = replicate_state(TrainState.create(variables, solver, ema=False), mesh)
+    use_ema = bool(cfg.TRAINER.EMA.get("ENABLE", False))
+    state = replicate_state(
+        TrainState.create(variables, solver, ema=use_ema), mesh
+    )
     step_fn = jax.jit(make_train_step(model, solver, cfg), donate_argnums=(0,))
 
-    train_ds = COCODataset(train_imgs, train_anno)
-    sampler = AspectRatioGroupSampler(
-        train_ds.aspect_ratios(), batch_size=args.batch
-    )
-    collator = DetectionPadCollator(max_instances=8)
-    loader = PrefetchIterator(
-        lambda: iter(_MappedLoader(train_ds, None, lambda: iter(sampler), collator)),
-        depth=2, infinite=True,
-    )
+    if model_name == "yolox":
+        # the REAL YOLOX pipeline: mosaic/mixup/affine workers → pad collate
+        from basedet_tpu.data.coco_loader import build_yolox_train_loader
+        from basedet_tpu.data.datasets.info import register_dataset
 
+        register_dataset("e2e_synth_train", train_imgs, train_anno)
+        cfg.DATA.TRAIN.name = "e2e_synth_train"
+        loader = build_yolox_train_loader(cfg, global_batch=args.batch)
+    else:
+        train_ds = COCODataset(train_imgs, train_anno)
+        sampler = AspectRatioGroupSampler(
+            train_ds.aspect_ratios(), batch_size=args.batch
+        )
+        collator = DetectionPadCollator(max_instances=8)
+        loader = PrefetchIterator(
+            lambda: iter(_MappedLoader(train_ds, None, lambda: iter(sampler), collator)),
+            depth=2, infinite=True,
+        )
+
+    batch_mapper = getattr(model, "train_batch_mapper", None)
     it = iter(loader)
     for step in range(args.steps):
         batch = dict(next(it))
         batch.pop("image_id", None)
+        if batch_mapper is not None:
+            batch = batch_mapper(batch, step)
         batch = shard_batch(batch, mesh)
         state, metrics = step_fn(state, batch)
         if step % 50 == 0 or step == args.steps - 1:
@@ -188,9 +216,11 @@ def _run_one(model_name: str, args):
 
     # evaluation
     val_ds = COCODataset(val_imgs, val_anno, remove_images_without_annotations=False)
-    test_loader = TestLoader(val_ds, None, collator, batch_size=1)
+    test_loader = TestLoader(
+        val_ds, None, DetectionPadCollator(max_instances=8), batch_size=1
+    )
     evaluator = cfg.build_evaluator()
-    eval_vars = state.variables()
+    eval_vars = state.variables(ema=use_ema)
     results = evaluator.evaluate_model(model, eval_vars, test_loader)
     logger.info(f"E2E synthetic [{model_name}] results: {results}")
     print(json.dumps({"model": model_name,

@@ -23,3 +23,6 @@ timeout 1200 python -m basedet_tpu.tools.benchmark --models RetinaNet --modes tr
 
 # 4. per-stage YOLOX block decomposition (queued timing)
 timeout 1800 python playground/ablate_yolox_blocks.py
+
+# 5. iou_pallas evidence A/B (VERDICT r2 weak #5: claim needs an artifact)
+timeout 900 python playground/probe_iou_pallas.py
