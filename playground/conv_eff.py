@@ -105,6 +105,69 @@ def run_dgrad_ab(name, H, ci, co, k, s=2):
         print(f"{name} f+b {tag:7s} {dt:8.3f} ms", flush=True)
 
 
+def run_pack_ab(name, H, ci, co, k, p):
+    """A/B: plain k×k/s2 conv vs space-to-depth packed stride-1 form
+    (ops/s2d_conv.py), fwd and f+b. 'packed*' rows time the conv on
+    pre-packed input (no transpose), isolating the pack cost."""
+    from basedet_tpu.ops.s2d_conv import (
+        pack_s2_kernel, s2d_conv, space_to_depth, packed_geometry,
+    )
+    rng = np.random.RandomState(0)
+    x = jnp.asarray(rng.randn(B, H, H, ci).astype(np.float32) * .1,
+                    jnp.bfloat16)
+    w = jnp.asarray(rng.randn(k, k, ci, co).astype(np.float32) * .01,
+                    jnp.bfloat16)
+    xp = space_to_depth(x)
+    wp = pack_s2_kernel(w, p)
+    ka, q = packed_geometry(k, p)
+    Ho = (H + 2 * p - k) // 2 + 1
+    pad_hi = Ho - (H // 2) - q + ka - 1
+
+    def plain(x, w):
+        return jax.lax.conv_general_dilated(
+            x, w, (2, 2), [(p, p), (p, p)],
+            dimension_numbers=("NHWC", "HWIO", "NHWC"))
+
+    def packed_pre(xp, wp):  # input already in packed layout
+        return jax.lax.conv_general_dilated(
+            xp, wp, (1, 1), [(q, pad_hi), (q, pad_hi)],
+            dimension_numbers=("NHWC", "HWIO", "NHWC"))
+
+    variants = (
+        ("plain", plain, x, w),
+        ("s2d", lambda x, w: s2d_conv(x, w, p), x, w),
+        ("packed*", packed_pre, xp, wp),
+    )
+    for tag, op, xx, ww in variants:
+        @jax.jit
+        def fwd(xx, ww, op=op):
+            acc = jnp.float32(0)
+            for r in range(REPS):
+                acc += op(xx + jnp.asarray(r, xx.dtype), ww).astype(
+                    jnp.float32).sum()
+            return acc
+
+        @jax.jit
+        def fwdbwd(xx, ww, op=op):
+            def loss(xx, ww):
+                acc = jnp.float32(0)
+                for r in range(REPS):
+                    acc += op(xx + jnp.asarray(r, xx.dtype), ww).astype(
+                        jnp.float32).sum()
+                return acc
+            l, (gx, gw) = jax.value_and_grad(loss, argnums=(0, 1))(xx, ww)
+            return l + gx.astype(jnp.float32).sum() + gw.astype(
+                jnp.float32).sum()
+
+        for mode, prog in (("fwd", fwd), ("f+b", fwdbwd)):
+            float(np.asarray(prog(xx, ww)))
+            t0 = time.perf_counter()
+            outs = [prog(xx, ww) for _ in range(N_TIMED)]
+            float(np.asarray(outs[-1]))
+            dt = (time.perf_counter() - t0) / N_TIMED / REPS * 1e3
+            print(f"{name} {mode} {tag:8s} {dt:8.3f} ms", flush=True)
+
+
 if __name__ == "__main__":
     import sys
 
@@ -152,6 +215,13 @@ if __name__ == "__main__":
             float(np.asarray(outs[-1]))
             dt = (time.perf_counter() - t0) / N_TIMED / REPS * 1e3
             print(f"maxpool3x3/2 64ch @320 {tag} {dt:8.3f} ms", flush=True)
+    elif sys.argv[1:] == ["pack"]:
+        run_pack_ab("dark3 3x3/2 64->128 @160", 160, 64, 128, 3, 1)
+        run_pack_ab("dark4 3x3/2 128->256 @80", 80, 128, 256, 3, 1)
+        run_pack_ab("dark5 3x3/2 256->512 @40", 40, 256, 512, 3, 1)
+        run_pack_ab("stem6 6x6/2 12->32 @320", 320, 12, 32, 6, 2)
+        run_pack_ab("res-ds 1x1/2 256->512 @80", 80, 256, 512, 1, 0)
+        run_pack_ab("r50stem 7x7/2 3->64 @640", 640, 3, 64, 7, 3)
     elif sys.argv[1:] == ["dgrad"]:
         run_dgrad_ab("dark3 3x3/2 64->128 @160", 160, 64, 128, 3)
         run_dgrad_ab("dark4 3x3/2 128->256 @80", 80, 128, 256, 3)

@@ -26,3 +26,6 @@ timeout 1800 python playground/ablate_yolox_blocks.py
 
 # 5. iou_pallas evidence A/B (VERDICT r2 weak #5: claim needs an artifact)
 timeout 900 python playground/probe_iou_pallas.py
+
+# 6. space-to-depth packed s2-conv A/B (round-3 MXU-utilization lever)
+timeout 1800 python playground/conv_eff.py pack
