@@ -101,10 +101,6 @@ class _RearrangedStemConv(nn.Module):
         if dt is not None:
             x, w = x.astype(dt), w.astype(dt)
         pad = k - 1  # the kxk SAME pad of the focus conv, in pixel space
-        from basedet_tpu.ops.conv_s2 import conv2d_s2, use_subpixel_dgrad
-
-        if use_subpixel_dgrad():
-            return conv2d_s2(x, w, (pad, pad))
         return jax.lax.conv_general_dilated(
             x, w, (2, 2), [(pad, pad), (pad, pad)],
             dimension_numbers=("NHWC", "HWIO", "NHWC"),

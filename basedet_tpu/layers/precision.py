@@ -45,56 +45,15 @@ def configure_from_cfg(cfg) -> None:
 
 
 def Conv(*args, **kwargs):
+    # NOTE (round 3): a stride-2 dispatch to a sub-pixel-dgrad custom-VJP
+    # conv lived here in round 2 (opt-in, pending measurement). The on-TPU
+    # A/B killed it: isolated convs were ~neutral-to-+15% but the full
+    # YOLOX-S b128 train step REGRESSED 628->556 img/s (the parity convs
+    # defeat XLA's fusion of the surrounding elementwise ops). Measurements
+    # in docs/ROADMAP.md (round-3 section).
     from flax import linen as nn
 
     kwargs.setdefault("dtype", compute_dtype())
-    # stride-2 convs: dispatch to S2Conv (sub-pixel input gradient — XLA's
-    # input-dilated dgrad runs at a fraction of MXU rate; ops/conv_s2.py).
-    # Param tree ("kernel"/"bias", HWIO) and forward numerics are identical.
-    strides = kwargs.get("strides", args[2] if len(args) > 2 else None)
-    # any kwarg outside the set S2Conv forwards (e.g. param_dtype, precision)
-    # must defeat the dispatch, not be silently dropped
-    _handled = {
-        "features", "kernel_size", "strides", "padding", "use_bias",
-        "kernel_init", "bias_init", "dtype", "name",
-        "feature_group_count", "kernel_dilation", "input_dilation",
-    }
-    plain = (
-        len(args) <= 3  # padding & co. must come as keywords to intercept
-        and kwargs.get("feature_group_count", 1) == 1
-        and kwargs.get("kernel_dilation") is None
-        and kwargs.get("input_dilation") is None
-        and all(k in _handled for k in kwargs)
-    )
-    if strides in (2, (2, 2)) and plain:
-        features = args[0] if args else kwargs["features"]
-        ksize = args[1] if len(args) > 1 else kwargs["kernel_size"]
-        square = (
-            isinstance(ksize, (tuple, list)) and len(ksize) == 2
-            and ksize[0] == ksize[1]
-        )
-        # padding must be an explicit symmetric int; flax's default 'SAME'
-        # only coincides with 0 for 1x1 kernels
-        pad_ok = isinstance(kwargs.get("padding"), int) or (
-            square and tuple(ksize) == (1, 1) and "padding" not in kwargs
-        )
-        from basedet_tpu.ops.conv_s2 import S2Conv, use_subpixel_dgrad
-
-        if square and pad_ok and use_subpixel_dgrad():
-            return S2Conv(
-                features=features,
-                kernel_size=tuple(ksize),
-                padding=kwargs.get("padding", 0),
-                use_bias=kwargs.get("use_bias", True),
-                kernel_init=kwargs.get(
-                    "kernel_init", nn.initializers.lecun_normal()
-                ),
-                bias_init=kwargs.get(
-                    "bias_init", nn.initializers.zeros_init()
-                ),
-                dtype=kwargs.get("dtype"),
-                name=kwargs.get("name"),
-            )
     return nn.Conv(*args, **kwargs)
 
 

@@ -124,17 +124,8 @@ class ResNet(nn.Module):
         y = Conv(64, (7, 7), (2, 2), padding=3, use_bias=False, name="conv1")(x)
         y = norm()(y)
         y = jax.nn.relu(y)
-        from basedet_tpu.ops.maxpool_s2 import (
-            max_pool_3x3_s2, use_subpixel_maxpool_bwd,
-        )
-
-        if use_subpixel_maxpool_bwd():
-            # elementwise backward instead of XLA's SelectAndScatter
-            # (opt-in pending the on-TPU A/B — ops/maxpool_s2.py)
-            y = max_pool_3x3_s2(y)
-        else:
-            y = nn.max_pool(y, (3, 3), strides=(2, 2),
-                            padding=((1, 1), (1, 1)))
+        y = nn.max_pool(y, (3, 3), strides=(2, 2),
+                        padding=((1, 1), (1, 1)))
         if self.freeze_at >= 1:
             y = jax.lax.stop_gradient(y)
         feats: Dict[str, jnp.ndarray] = {"stem": y}

@@ -6,14 +6,12 @@ from .roi_align_pallas import (
     pool_rois_multilevel,
 )
 from .roi_align_separable import multilevel_roi_align_batched
-from .conv_s2 import conv2d_s2
 from .subpixel import conv_transpose_s2_subpixel
 
 __all__ = [
     "NEG_INF",
     "batched_nms_padded",
     "box_iou_pallas",
-    "conv2d_s2",
     "conv_transpose_s2_subpixel",
     "multilevel_roi_align",
     "multilevel_roi_align_batched",

@@ -10,6 +10,14 @@ VMEM and emits the (M, N) IoU matrix directly.
 Layout note: boxes are passed coordinate-major as (4, M) / (4, N) so the box
 axis rides the 128-wide lane dimension (a (M, 4) layout would waste 124/128
 lanes per load).
+
+Measured on v5e 2026-08-18 (playground/probe_iou_pallas.py, queued-dispatch
+single-fence timing): at detection shapes the XLA-fused jnp path wins or
+ties (M=76725 N=100: jnp 0.499 ms vs pallas 0.549; M=1000 N=1000:
+0.309 vs 0.324); this kernel only wins at large square shapes
+(4096x4096: 0.678 vs 0.511, 16384x512: 0.487 vs 0.399). Production code
+therefore uses structures/box_ops.box_iou; this kernel is kept for the
+large-square regime and as the op_patch capability analogue.
 """
 from __future__ import annotations
 

@@ -7,8 +7,8 @@ csp_darknet.py:10-95) are doubly bad on TPU:
 1. **fwd lane underfill**: early-stage convs have few channels (C=64 at
    160² in YOLOX-S), filling half or less of the 128-wide MXU lanes.
 2. **bwd dgrad**: XLA lowers the stride-2 input gradient as an
-   input-dilated conv that runs at ~1.5-6 TF/s (measured round 2;
-   ops/conv_s2.py works around it with a parity decomposition).
+   input-dilated conv (a round-2 parity-decomposed workaround was measured
+   on-TPU in round 3 and lost in-train; deleted — see docs/ROADMAP.md).
 
 The space-to-depth formulation fixes both at once: pack the input
 (B, H, W, C) → (B, H/2, W/2, 4C) (phase order (di, dj) = 00, 01, 10, 11 on
