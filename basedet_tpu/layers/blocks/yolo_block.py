@@ -67,15 +67,19 @@ def make_conv(depthwise: bool):
 
 
 class _RearrangedStemConv(nn.Module):
-    """The Focus conv computed as ONE 2k x 2k stride-2 conv on the raw image.
+    """The Focus conv: reshape-transpose space-to-depth + kxk/s1 dense conv.
 
-    Space-to-depth + kxk conv and a 2k x 2k/s2 conv over the original pixels
-    are the same linear map under a kernel rearrangement
-    (w6[2ky+dy, 2kx+dx, c, o] = w[ky, kx, (2dx+dy)C+c, o]); the fused form
-    runs ~2x faster on the TPU MXU (measured 5.0 vs 9.9 ms fwd at bs128
-    640px) because XLA keeps one conv instead of 4 strided slices + concat.
-    The parameter keeps the reference's (k, k, 4C, out) layout/name so
-    checkpoints and weight converters are unaffected.
+    History: round 1 measured a slice-4x+concat space-to-depth LOSING to a
+    fused 2k x 2k/s2 pixel conv (5.0 vs 9.9 ms fwd b128 640px) and shipped
+    the fused form. Round 3 re-measured with a reshape-transpose pack
+    (playground/probe_stems.py): the packed form wins decisively — f+b
+    9.38 (fused6) vs 6.47 (s2d) vs 5.26 ms (pre-packed) at b128 — because
+    the dense stride-1 3x3 conv over 12 channels fills the MXU K-dim 4x
+    better than the 6x6/s2 conv over 3 channels, and the pack transpose
+    fuses with neighbouring elementwise work. The parameter keeps the
+    reference's (k, k, 4C, out) layout/name (reference basic_block.py:14
+    concat order tl,bl,tr,br = channel block 2*dx+dy) so checkpoints and
+    weight converters are unaffected.
     """
 
     out_channels: int
@@ -85,24 +89,23 @@ class _RearrangedStemConv(nn.Module):
     def __call__(self, x):
         from basedet_tpu.layers.precision import compute_dtype
 
-        C = x.shape[-1]
+        B, H, W, C = x.shape
         k = self.ksize
         kernel = self.param(
             "kernel",
             nn.initializers.lecun_normal(),
             (k, k, 4 * C, self.out_channels),
         )
-        # (ky, kx, 4C, O) -> (ky, kx, dx, dy, C, O) -> (ky, dy, kx, dx, C, O)
-        w = kernel.reshape(k, k, 2, 2, C, self.out_channels)
-        w = w.transpose(0, 3, 1, 2, 4, 5).reshape(
-            2 * k, 2 * k, C, self.out_channels
-        )
         dt = compute_dtype()
         if dt is not None:
-            x, w = x.astype(dt), w.astype(dt)
-        pad = k - 1  # the kxk SAME pad of the focus conv, in pixel space
+            x, kernel = x.astype(dt), kernel.astype(dt)
+        # pack to (B, H/2, W/2, 4C), channel block = 2*dx + dy (focus order)
+        xp = x.reshape(B, H // 2, 2, W // 2, 2, C)
+        xp = xp.transpose(0, 1, 3, 4, 2, 5)  # (B, i, j, dx, dy, C)
+        xp = xp.reshape(B, H // 2, W // 2, 4 * C)
+        pad = (k - 1) // 2
         return jax.lax.conv_general_dilated(
-            x, w, (2, 2), [(pad, pad), (pad, pad)],
+            xp, kernel, (1, 1), [(pad, pad), (pad, pad)],
             dimension_numbers=("NHWC", "HWIO", "NHWC"),
         )
 
