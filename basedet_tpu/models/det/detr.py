@@ -195,10 +195,18 @@ class DETR(BaseNet):
         inputs = self._prepare(batch, train=True)
         module = self.make_module(train=True)
         rng = rng if rng is not None else jax.random.PRNGKey(0)
-        logits_all, coords_all = module.apply(
-            variables, inputs["image"], inputs["mask"],
-            rngs={"dropout": rng},
-        )
+        mutable = [k for k in variables if k == "batch_stats"]
+        if mutable:
+            (logits_all, coords_all), new_state = module.apply(
+                variables, inputs["image"], inputs["mask"],
+                rngs={"dropout": rng}, mutable=mutable,
+            )
+        else:
+            logits_all, coords_all = module.apply(
+                variables, inputs["image"], inputs["mask"],
+                rngs={"dropout": rng},
+            )
+            new_state = {}
 
         # targets: normalized xcycwh + class-1 with validity
         gt = inputs["gt_boxes"]
@@ -240,7 +248,7 @@ class DETR(BaseNet):
             loss_ce=ce_l[-1], loss_bbox=bbox_l[-1], loss_giou=giou_l[-1]
         )
         losses["total_loss"] = total
-        return total, losses, {}
+        return total, losses, new_state
 
     # -- eval -----------------------------------------------------------------------
     def inference(self, variables, batch):

@@ -53,3 +53,25 @@ def test_all_registered_models_build():
     for name in _configs():
         key = {"FasterRCNN": "FasterRCNN"}.get(name, name)
         assert key in registers.models, f"{key} not registered"
+
+
+def test_detr_trainable_bn_threads_batch_stats():
+    """Regression: DETR.get_losses must pass mutable=["batch_stats"] when
+    the backbone uses trainable BN (sanity_e2e sets BACKBONE.NORM="BN";
+    FrozenBN default hid the missing plumb — r4)."""
+    from basedet_tpu import configs as C
+
+    cfg = _small(C.DETRConfig())
+    cfg.MODEL.BACKBONE.NORM = "BN"
+    cfg.MODEL.BACKBONE.FREEZE_AT = 0
+    model = cfg.build_model()
+    batch = DummyLoader(
+        batch_size=2, image_size=(96, 96), max_instances=6
+    ).make_batch()
+    variables = model.init_variables(jax.random.PRNGKey(0), image_size=(96, 96))
+    assert "batch_stats" in variables
+    total, losses, new_state = model.get_losses_jit(
+        variables, batch, jax.random.PRNGKey(1)
+    )
+    assert np.isfinite(float(total))
+    assert "batch_stats" in new_state  # running stats actually updated
