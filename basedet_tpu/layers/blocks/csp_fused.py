@@ -88,12 +88,14 @@ def csp_layer_fused(
         # 3x3 conv in XLA on the materialized activation (one fused
         # elementwise pass produces it; one fused reduce takes its stats)
         a = _silu_bf16(ya.astype(jnp.float32) * sca + sha)
+        # bf16 in / bf16 out (MXU accumulates f32 internally) — matching
+        # flax nn.Conv(dtype=bf16); a preferred_element_type=f32 variant
+        # breaks under grad (mixed-dtype transpose conv).
         yb4 = jax.lax.conv_general_dilated(
             a.reshape(B, H, W, h), params[f"m{i}b/w"].astype(jnp.bfloat16),
             (1, 1), [(1, 1), (1, 1)],
             dimension_numbers=("NHWC", "HWIO", "NHWC"),
-            preferred_element_type=jnp.float32,
-        ).astype(jnp.bfloat16)
+        )
         yb = yb4.reshape(M, h)
         ybf = yb.astype(jnp.float32)
         scb, shb = affine(
@@ -111,7 +113,8 @@ def csp_layer_fused(
     )
     sc3, sh3 = affine("conv3", s3, ss3)
     out = _silu_bf16(y3.astype(jnp.float32) * sc3 + sh3)
-    return out.reshape(B, H, W, C), moments
+    # out_channels may differ from the input C (PAFPN reduce layers)
+    return out.reshape(B, H, W, w3.shape[-1]), moments
 
 
 def flax_csp_params_to_fused(variables, n: int) -> Dict[str, jnp.ndarray]:

@@ -180,6 +180,101 @@ class Bottleneck(nn.Module):
         return y
 
 
+def fused_bn_enabled() -> bool:
+    """Fused-BN CSP path gate (round 4): Pallas fused GEMM+stats chain for
+    train-mode CSP layers (ops/fused_bn.py). Requires a TPU backend and the
+    bf16 compute policy. Opt-in via BASEDET_FUSED_BN=1 pending the in-train
+    A/B (flip-or-delete discipline, docs/ROADMAP.md)."""
+    import os
+
+    if os.environ.get("BASEDET_FUSED_BN", "0") != "1":
+        return False
+    from basedet_tpu.layers.precision import compute_dtype
+
+    if compute_dtype() != jnp.bfloat16:
+        return False
+    if os.environ.get("BASEDET_FUSED_BN_INTERPRET", "0") == "1":
+        return True  # CPU tests: interpret-mode kernels
+    import jax as _jax
+
+    try:
+        return _jax.devices()[0].platform in ("tpu", "axon")
+    except Exception:
+        return False
+
+
+def _fused_bn_interpret() -> bool:
+    import os
+
+    return os.environ.get("BASEDET_FUSED_BN_INTERPRET", "0") == "1"
+
+
+class _ConvKernelParam(nn.Module):
+    """Declares the same param ('kernel') precision.Conv would, without
+    running the conv — the fused CSP path reads it directly."""
+
+    shape: tuple
+
+    @nn.compact
+    def __call__(self):
+        return self.param(
+            "kernel", nn.initializers.lecun_normal(), self.shape
+        )
+
+
+class _BNParams(nn.Module):
+    """Declares nn.BatchNorm's params/variables by name (scale/bias +
+    batch_stats mean/var) for the fused path."""
+
+    features: int
+
+    @nn.compact
+    def __call__(self):
+        scale = self.param(
+            "scale", nn.initializers.ones_init(), (self.features,)
+        )
+        bias = self.param(
+            "bias", nn.initializers.zeros_init(), (self.features,)
+        )
+        mean = self.variable(
+            "batch_stats", "mean",
+            lambda: jnp.zeros((self.features,), jnp.float32),
+        )
+        var = self.variable(
+            "batch_stats", "var",
+            lambda: jnp.ones((self.features,), jnp.float32),
+        )
+        return scale, bias, mean, var
+
+
+class _FusedConvBN(nn.Module):
+    """Param-tree mirror of one _ConvBNAct (conv/kernel + BatchNorm_0/*)."""
+
+    cin: int
+    cout: int
+    k: int = 1
+
+    @nn.compact
+    def __call__(self):
+        kernel = _ConvKernelParam(
+            (self.k, self.k, self.cin, self.cout), name="conv"
+        )()
+        scale, bias, mean, var = _BNParams(self.cout, name="BatchNorm_0")()
+        return kernel, scale, bias, mean, var
+
+
+class _FusedBottleneck(nn.Module):
+    """Param-tree mirror of one Bottleneck (conv1 1x1 + conv2 3x3)."""
+
+    hidden: int
+
+    @nn.compact
+    def __call__(self):
+        a = _FusedConvBN(self.hidden, self.hidden, 1, name="conv1")()
+        b = _FusedConvBN(self.hidden, self.hidden, 3, name="conv2")()
+        return a, b
+
+
 class CSPLayer(nn.Module):
     """C3: CSP bottleneck with 3 convs (yolo_block.py:91-133)."""
 
@@ -194,6 +289,13 @@ class CSPLayer(nn.Module):
     @nn.compact
     def __call__(self, x):
         hidden = int(self.out_channels * self.expansion)
+        if (
+            self.train
+            and not self.depthwise
+            and self.act == "silu"
+            and fused_bn_enabled()
+        ):
+            return self._fused(x, hidden)
         x1 = _ConvBNAct(hidden, 1, 1, act=self.act, train=self.train,
                         name="conv1")(x)
         x2 = _ConvBNAct(hidden, 1, 1, act=self.act, train=self.train,
@@ -206,3 +308,51 @@ class CSPLayer(nn.Module):
         x = jnp.concatenate([x1, x2], axis=-1)
         return _ConvBNAct(self.out_channels, 1, 1, act=self.act,
                           train=self.train, name="conv3")(x)
+
+    def _fused(self, x, hidden):
+        """Pallas fused-BN chain (ops/fused_bn.py). Same param tree as the
+        standard branch (holder modules above), same BN hyperparams
+        (eps 1e-3 / momentum 0.97 — _ConvBNAct defaults)."""
+        from basedet_tpu.layers.blocks.csp_fused import csp_layer_fused
+
+        cin = x.shape[-1]
+        holders = {
+            "conv1": _FusedConvBN(cin, hidden, 1, name="conv1")(),
+            "conv2": _FusedConvBN(cin, hidden, 1, name="conv2")(),
+            "conv3": _FusedConvBN(
+                2 * hidden, self.out_channels, 1, name="conv3"
+            )(),
+        }
+        bottlenecks = [
+            _FusedBottleneck(hidden, name=f"m_{i}")() for i in range(self.n)
+        ]
+
+        params = {}
+        stat_vars = {}
+
+        def unpack(key, parts):
+            kernel, scale, bias, mean, var = parts
+            params[key + "/w"] = kernel
+            params[key + "/g"] = scale
+            params[key + "/b"] = bias
+            stat_vars[key] = (mean, var)
+
+        unpack("conv1", holders["conv1"])
+        unpack("conv2", holders["conv2"])
+        unpack("conv3", holders["conv3"])
+        for i, (a, b) in enumerate(bottlenecks):
+            unpack(f"m{i}a", a)
+            unpack(f"m{i}b", b)
+
+        out, moments = csp_layer_fused(
+            params, x.astype(jnp.bfloat16), self.n,
+            shortcut=self.shortcut, eps=1e-3,
+            interpret=_fused_bn_interpret(),
+        )
+        if not self.is_initializing():
+            mom = 0.97  # _ConvBNAct default, reference yolox.py:35-36
+            for key, (mean_v, var_v) in stat_vars.items():
+                bm, bv = moments[key]
+                mean_v.value = mom * mean_v.value + (1 - mom) * bm
+                var_v.value = mom * var_v.value + (1 - mom) * bv
+        return out
