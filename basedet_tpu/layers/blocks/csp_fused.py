@@ -26,6 +26,7 @@ from typing import Dict, Tuple
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 
 from basedet_tpu.ops.fused_bn import (
     fused_gemm_stats,
@@ -36,6 +37,23 @@ from basedet_tpu.ops.fused_bn import (
 
 def _silu_bf16(pre_f32):
     return (pre_f32 * jax.nn.sigmoid(pre_f32)).astype(jnp.bfloat16)
+
+
+def _pack_factor(widths, rows) -> int:
+    """Lane-packing factor g: Pallas/Mosaic lays custom-call operands out
+    T(8,128)-tiled, so an (M, w) tensor with w<128 physically occupies
+    M x roundup(w,128) HBM bytes (4x for w=32 — the round-4 OOM dump,
+    logs/probe_fused_bn_r4.log). Packing g consecutive rows into lanes —
+    (M, w) -> (M/g, g*w), a free row-major bitcast — makes every operand's
+    lane count a multiple of 128, restoring physical == logical bytes.
+    """
+    g = 1
+    for w in widths:
+        need = 128 // np.gcd(128, int(w))  # lcm(128,w)/w
+        g = int(np.lcm(g, need))
+    if rows % g:
+        return 1  # fallback: unpacked (correct, just padded)
+    return g
 
 
 def csp_layer_fused(
@@ -56,9 +74,31 @@ def csp_layer_fused(
     """
     B, H, W, C = x4d.shape
     h = params["conv1/w"].shape[-1]
+    out_ch = params["conv3/w"].shape[-1]
     M = B * H * W
-    x = x4d.reshape(M, C)
     moments: Dict[str, Tuple[jnp.ndarray, jnp.ndarray]] = {}
+
+    # Lane packing (see _pack_factor): all M-tensors crossing a pallas_call
+    # are held as (M/g, g*w); weights become kron(eye(g), w) block-diagonals
+    # (g x FLOPs on GEMMs — irrelevant, the chain is HBM-BW-bound); per-
+    # channel vectors are tiled g times; kernel stats come back per packed
+    # lane and fold (g, w) -> (w,). All glue is differentiable jnp outside
+    # the custom VJP, so backward unpacks automatically.
+    g = _pack_factor({C, h, out_ch}, M)
+    Mp = M // g
+    eye_g = jnp.eye(g, dtype=jnp.bfloat16)
+
+    def pack(t):  # (..., w) M-major -> (M/g, g*w); free bitcast
+        return t.reshape(Mp, -1)
+
+    def wpack(w):  # (K, N) -> block-diag (g*K, g*N); bf16 like nn.Conv
+        w = w.astype(jnp.bfloat16)
+        return jnp.kron(eye_g, w) if g > 1 else w
+
+    def vtile(v):  # (N,) -> (g*N,)
+        return jnp.tile(v, g) if g > 1 else v
+
+    x = pack(x4d)
 
     def w2d(key):
         w = params[key + "/w"]
@@ -71,12 +111,25 @@ def csp_layer_fused(
             mean, var, params[key + "/g"], params[key + "/b"], eps
         )
 
+    def fold(s):  # packed (g*N,) stat -> logical (N,)
+        return s.reshape(g, -1).sum(0) if g > 1 else s
+
     def g1x1(key, terms):
-        w = w2d(key)
-        y, s, ss = fused_gemm_stats(
-            [t + (w,) for t in terms], interpret=interpret
-        )
-        sc, sh = affine(key, s, ss)
+        """terms: ("act", x_packed) | ("raw", [(y_packed, sc, sh), ...])
+        with LOGICAL sc/sh; returns packed y and logical sc/sh."""
+        wp = wpack(w2d(key))
+        full = []
+        for t in terms:
+            if t[0] == "act":
+                full.append(("act", t[1], wp))
+            else:
+                full.append((
+                    "raw",
+                    [(y, vtile(sc), vtile(sh)) for y, sc, sh in t[1]],
+                    wp,
+                ))
+        y, s, ss = fused_gemm_stats(full, interpret=interpret)
+        sc, sh = affine(key, fold(s), fold(ss))
         return y, sc, sh
 
     y1, sc1, sh1 = g1x1("conv1", [("act", x)])
@@ -87,7 +140,9 @@ def csp_layer_fused(
         ya, sca, sha = g1x1(f"m{i}a", [("raw", list(left))])
         # 3x3 conv in XLA on the materialized activation (one fused
         # elementwise pass produces it; one fused reduce takes its stats)
-        a = _silu_bf16(ya.astype(jnp.float32) * sca + sha)
+        a = _silu_bf16(
+            ya.astype(jnp.float32) * vtile(sca) + vtile(sha)
+        )
         # bf16 in / bf16 out (MXU accumulates f32 internally) — matching
         # flax nn.Conv(dtype=bf16); a preferred_element_type=f32 variant
         # breaks under grad (mixed-dtype transpose conv).
@@ -96,25 +151,31 @@ def csp_layer_fused(
             (1, 1), [(1, 1), (1, 1)],
             dimension_numbers=("NHWC", "HWIO", "NHWC"),
         )
-        yb = yb4.reshape(M, h)
-        ybf = yb.astype(jnp.float32)
+        ybf = yb4.reshape(M, h).astype(jnp.float32)
         scb, shb = affine(
             f"m{i}b", jnp.sum(ybf, axis=0), jnp.sum(ybf * ybf, axis=0)
         )
+        yb = pack(yb4)
         if shortcut:
             left.append((yb, scb, shb))
         else:
             left = [(yb, scb, shb)]
 
     w3 = w2d("conv3")
+    # conv3 is a split-K GEMM: left-branch terms hit w3[:h], right y2 hits
+    # w3[h:] — two separately-packed weights, one fused output + stats.
+    wl, wr = wpack(w3[:h]), wpack(w3[h:])
     y3, s3, ss3 = fused_gemm_stats(
-        [("raw", list(left), w3[:h]), ("raw", [(y2, sc2, sh2)], w3[h:])],
+        [
+            ("raw", [(y, vtile(sc), vtile(sh)) for y, sc, sh in left], wl),
+            ("raw", [(y2, vtile(sc2), vtile(sh2))], wr),
+        ],
         interpret=interpret,
     )
-    sc3, sh3 = affine("conv3", s3, ss3)
-    out = _silu_bf16(y3.astype(jnp.float32) * sc3 + sh3)
+    sc3, sh3 = affine("conv3", fold(s3), fold(ss3))
+    out = _silu_bf16(y3.astype(jnp.float32) * vtile(sc3) + vtile(sh3))
     # out_channels may differ from the input C (PAFPN reduce layers)
-    return out.reshape(B, H, W, w3.shape[-1]), moments
+    return out.reshape(B, H, W, out_ch), moments
 
 
 def flax_csp_params_to_fused(variables, n: int) -> Dict[str, jnp.ndarray]:

@@ -115,10 +115,38 @@ def _iter_terms(spec, flat):
 # ---------------------------------------------------------------------------
 
 def _choose_tm(M: int, want: int = 2048) -> int:
-    tm = min(want, M)
-    while M % tm:
-        tm //= 2
-    return max(tm, 8)
+    """Largest TM <= want that divides M AND is a multiple of 8 — Mosaic
+    requires the sublane block dim divisible by 8 unless the block spans
+    the whole array. Falls back to M (full-array block, always legal)
+    when no such divisor exists (e.g. M = 4 * odd)."""
+    if M <= want:
+        return M
+    best = 0
+    for tm in range(8, want + 1, 8):
+        if M % tm == 0:
+            best = tm
+    return best or M
+
+
+_VMEM_BUDGET = 10 * 2**20  # scoped-vmem limit is 16M; leave headroom
+
+
+def _choose_tm_vmem(M: int, row_bytes: int, resident_bytes: int,
+                    want: int = 2048) -> int:
+    """Largest TM (divisor of M, <= want) whose VMEM footprint fits:
+    M-tiled operands are double-buffered by the Pallas pipeline, so they
+    cost 2 * TM * row_bytes on top of the grid-resident tensors."""
+    tm = _choose_tm(M, want)
+    while tm > 8 and 2 * tm * row_bytes + resident_bytes > _VMEM_BUDGET:
+        smaller = _choose_tm(M, tm // 2)
+        if smaller >= tm:  # no smaller legal tile exists
+            break
+        tm = smaller
+    return tm
+
+
+def _nbytes(shape, dtype) -> int:
+    return int(np.prod(shape)) * jnp.dtype(dtype).itemsize
 
 
 def _fwd_kernel(spec, n_out, *refs):
@@ -166,7 +194,15 @@ def _fwd_call(spec, flat, *, interpret=False, tm=2048):
     for kind, *parts in _iter_terms(spec, flat):
         n_out = parts[-1].shape[-1]
         break
-    TM = _choose_tm(M, tm)
+    row_bytes = sum(
+        a.shape[1] * a.dtype.itemsize
+        for a in flat if a.ndim == 2 and a.shape[0] == M
+    ) + n_out * 2  # + y tile (bf16)
+    resident = sum(
+        _nbytes(a.shape, a.dtype)
+        for a in flat if not (a.ndim == 2 and a.shape[0] == M)
+    ) + 2 * n_out * 4  # + s/ss accumulators
+    TM = _choose_tm_vmem(M, row_bytes, resident, tm)
     grid = (M // TM,)
 
     in_specs = []
@@ -316,7 +352,17 @@ def _bwd_kernel(spec, n_out, *refs):
 def _bwd_call(spec, flat, y, dy, ds, dss, *, interpret=False, tm=2048):
     M = y.shape[0]
     n_out = y.shape[1]
-    TM = _choose_tm(M, tm)
+    # rows: every M-tiled input, its dx output, plus y and dy tiles
+    m_inputs = [a for a in flat if a.ndim == 2 and a.shape[0] == M]
+    row_bytes = (
+        2 * sum(a.shape[1] * a.dtype.itemsize for a in m_inputs)
+        + 2 * n_out * 2
+    )
+    resident = sum(
+        _nbytes(a.shape, a.dtype)
+        for a in flat if not (a.ndim == 2 and a.shape[0] == M)
+    ) * 2  # weights + their f32 grad accumulators (~2x)
+    TM = _choose_tm_vmem(M, row_bytes, resident, tm)
     grid = (M // TM,)
 
     def spec_for(a):
@@ -411,17 +457,17 @@ def _bwd_call(spec, flat, y, dy, ds, dss, *, interpret=False, tm=2048):
 # public op with custom VJP
 # ---------------------------------------------------------------------------
 
-@functools.partial(jax.custom_vjp, nondiff_argnums=(0, 2))
-def _fused_gemm_flat(spec, flat, interpret):
-    return _fwd_call(spec, list(flat), interpret=interpret)
+@functools.partial(jax.custom_vjp, nondiff_argnums=(0, 2, 3))
+def _fused_gemm_flat(spec, flat, interpret, tm):
+    return _fwd_call(spec, list(flat), interpret=interpret, tm=tm)
 
 
-def _fused_gemm_fwd(spec, flat, interpret):
-    y, s, ss = _fwd_call(spec, list(flat), interpret=interpret)
+def _fused_gemm_fwd(spec, flat, interpret, tm):
+    y, s, ss = _fwd_call(spec, list(flat), interpret=interpret, tm=tm)
     return (y, s, ss), (tuple(flat), y)
 
 
-def _fused_gemm_bwd(spec, interpret, res, cts):
+def _fused_gemm_bwd(spec, interpret, tm, res, cts):
     flat, y = res
     dy, ds, dss = cts
     dy = jnp.zeros_like(y) if dy is None else dy
@@ -430,17 +476,17 @@ def _fused_gemm_bwd(spec, interpret, res, cts):
     if dss is None:
         dss = jnp.zeros((y.shape[1],), jnp.float32)
     d_flat = _bwd_call(spec, list(flat), y, dy.astype(jnp.bfloat16),
-                       ds, dss, interpret=interpret)
+                       ds, dss, interpret=interpret, tm=tm)
     return (tuple(d_flat),)
 
 
 _fused_gemm_flat.defvjp(_fused_gemm_fwd, _fused_gemm_bwd)
 
 
-def fused_gemm_stats(terms, *, interpret=False):
+def fused_gemm_stats(terms, *, interpret=False, tm=2048):
     """y_raw (M,N) bf16, s (N,) f32, ss (N,) f32. See module docstring."""
     spec, flat = _flatten_terms(terms)
-    return _fused_gemm_flat(spec, tuple(flat), interpret)
+    return _fused_gemm_flat(spec, tuple(flat), interpret, tm)
 
 
 # ---------------------------------------------------------------------------
