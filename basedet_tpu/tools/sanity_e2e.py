@@ -96,6 +96,9 @@ def _make_cfg(model: str, args):
         cfg.SOLVER.BASIC_LR = 0.02 / 64
         # the cosine schedule's no-aug tail must fit the short run
         cfg.SOLVER.EXTRA_LR_ARGS = dict(NO_AUG_EPOCH=1, MIN_LR_RATIO=0.05)
+        if getattr(args, "no_aug", False):
+            s.MOSAIC_PROB = 0.0
+            s.ENABLE_MIXUP = False
     else:
         raise ValueError(model)
     if model != "yolox":
@@ -131,6 +134,12 @@ def main(args=None):
         "--model", type=str, default="retinanet",
         help="retinanet | faster_rcnn | detr | all "
              "(reference eval flow per family: tools/det_test.py:40-118)",
+    )
+    parser.add_argument(
+        "--no-aug", action="store_true",
+        help="YOLOX: disable mosaic/mixup (the reference's no-aug final "
+             "phase, engine/yolo_hooks.py) — short synthetic runs cannot "
+             "converge under full mosaic augmentation",
     )
     args = parser.parse_args(args)
 

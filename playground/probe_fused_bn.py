@@ -8,8 +8,12 @@ conv stays XLA in this cut (its input act is materialized by one fused
 elementwise pass; its output stats are one fused reduce).
 
 Prints fwd and f+b ms for: xla (flax MiniCSP, train BN), fused.
-Queued-dispatch single-fence timing (round-2 RTT lesson).
+Queued-dispatch single-fence timing (round-2 RTT lesson). REPS distinct
+inputs are materialized at setup: a per-rep `x + r` inside the jit is
+fused by XLA but must materialize before a pallas_call, which polluted
+the first version's numbers by an extra x-sized HBM round trip per rep.
 """
+import sys
 import time
 from functools import partial
 
@@ -18,7 +22,8 @@ import jax.numpy as jnp
 import numpy as np
 from flax import linen as nn
 
-from basedet_tpu.layers.blocks.csp_fused import csp_layer_fused
+sys.path.insert(0, "/root/repo")
+from basedet_tpu.layers.blocks.csp_fused import csp_layer_fused  # noqa: E402
 from basedet_tpu.utils.compile_cache import enable_compilation_cache
 
 enable_compilation_cache()
@@ -96,6 +101,8 @@ def run(name, H, C, n):
     rng = np.random.RandomState(0)
     x = jnp.asarray(rng.randn(B, H, H, C).astype(np.float32) * 0.1,
                     jnp.bfloat16)
+    xs = tuple(x + jnp.bfloat16(0.25 * i) for i in range(REPS))
+    float(np.asarray(xs[-1][0, 0, 0, 0]))  # materialize before timing
 
     # --- XLA baseline
     mod = MiniCSP(C, n=n)
@@ -106,18 +113,18 @@ def run(name, H, C, n):
         return out.astype(jnp.float32).sum()
 
     @jax.jit
-    def fwd_xla(v, x):
+    def fwd_xla(v, xs):
         acc = jnp.float32(0)
-        for r in range(REPS):
-            acc += apply_xla(v, x + jnp.bfloat16(r))
+        for xr in xs:
+            acc += apply_xla(v, xr)
         return acc
 
     @jax.jit
-    def fb_xla(v, x):
+    def fb_xla(v, xs):
         def loss(v):
             acc = jnp.float32(0)
-            for r in range(REPS):
-                acc += apply_xla(v, x + jnp.bfloat16(r))
+            for xr in xs:
+                acc += apply_xla(v, xr)
             return acc
         l, g = jax.value_and_grad(loss)(v)
         return l + jax.tree_util.tree_reduce(
@@ -132,18 +139,18 @@ def run(name, H, C, n):
         return out.astype(jnp.float32).sum()
 
     @jax.jit
-    def fwd_fused(p, x):
+    def fwd_fused(p, xs):
         acc = jnp.float32(0)
-        for r in range(REPS):
-            acc += apply_fused(p, x + jnp.bfloat16(r))
+        for xr in xs:
+            acc += apply_fused(p, xr)
         return acc
 
     @jax.jit
-    def fb_fused(p, x):
+    def fb_fused(p, xs):
         def loss(p):
             acc = jnp.float32(0)
-            for r in range(REPS):
-                acc += apply_fused(p, x + jnp.bfloat16(r))
+            for xr in xs:
+                acc += apply_fused(p, xr)
             return acc
         l, g = jax.value_and_grad(loss)(p)
         return l + jax.tree_util.tree_reduce(
@@ -151,10 +158,10 @@ def run(name, H, C, n):
         )
 
     print(f"== {name} (B={B}, {H}x{H}x{C}, n={n})")
-    t1 = timed("fwd xla", fwd_xla, v, x)
-    t2 = timed("fwd fused", fwd_fused, p, x)
-    t3 = timed("f+b xla", fb_xla, v, x)
-    t4 = timed("f+b fused", fb_fused, p, x)
+    t1 = timed("fwd xla", fwd_xla, v, xs)
+    t2 = timed("fwd fused", fwd_fused, p, xs)
+    t3 = timed("f+b xla", fb_xla, v, xs)
+    t4 = timed("f+b fused", fb_fused, p, xs)
     print(f"   fwd speedup {t1 / t2:5.2f}x   f+b speedup {t3 / t4:5.2f}x",
           flush=True)
 

@@ -1,13 +1,15 @@
 """Micro A/B: ONE fused GEMM+stats Pallas call vs its XLA equivalent.
 
-Isolates the kernel cost from the chain glue (probe_fused_bn.py showed the
-full fused dark2 chain 3x SLOWER than XLA, 21.4 vs 7.3 ms fwd). Shapes are
-the lane-packed dark2 conv1: x (819200, 256) bf16 @ w (256, 128).
+Isolates the kernel cost from the chain glue. Shapes are the lane-packed
+dark2 conv1: x (819200, 256) bf16 @ w (256, 128).
 
-Timed per variant (queued dispatch, single fence — round-2 RTT lesson):
-  xla          y = x@w; s = sum(y); ss = sum(y*y)   (what we're beating)
-  fused tmXXX  fused_gemm_stats act-term, TM sweep
-  fused raw    one raw input term (normalize+SiLU prologue)
+METHODOLOGY (v2): the first version perturbed x per rep with `x + r`
+inside the jit — XLA fuses that add into its own dot but must MATERIALIZE
+it before a pallas_call (an extra 800 MB round-trip per rep), so the
+Pallas numbers read ~2x slow. Now REPS distinct inputs are materialized
+once at setup and the timed program loops over them; y is returned from
+every rep so XLA cannot skip writing it (production writes y — it feeds
+the 3x3 conv). Queued dispatch, single fence (round-2 RTT lesson).
 """
 import time
 
@@ -24,58 +26,65 @@ enable_compilation_cache()
 
 M, K, N = 819200, 256, 128
 REPS, N_TIMED = 8, 5
+BYTES_PER_REP = (M * K + M * N) * 2  # read x + write y (stats reads extra)
+
+
+def fence(out):
+    # axon: block_until_ready does NOT fence remote execution; a host
+    # transfer does. Pull the tiny (N,) stats vector of the last rep.
+    np.asarray(out[-1][1])
 
 
 def timed(tag, prog, *args):
-    float(np.asarray(prog(*args)))  # compile + fence (axon: np.asarray fences)
+    fence(prog(*args))  # compile + fence
     t0 = time.perf_counter()
-    outs = [prog(*args) for _ in range(N_TIMED)]
-    float(np.asarray(outs[-1]))
+    for _ in range(N_TIMED):
+        out = prog(*args)
+    fence(out)
     dt = (time.perf_counter() - t0) / N_TIMED / REPS * 1e3
-    bytes_ = (M * K + M * N) * 2
-    print(f"{tag:22s} {dt:8.3f} ms   {bytes_/2**30/(dt/1e3):7.1f} GB/s eff",
-          flush=True)
+    print(f"{tag:22s} {dt:8.3f} ms   "
+          f"{BYTES_PER_REP/2**30/(dt/1e3):7.1f} GB/s eff", flush=True)
     return dt
 
 
 rng = np.random.RandomState(0)
-x = jnp.asarray(rng.randn(M, K) * 0.1, jnp.bfloat16)
+x0 = jnp.asarray(rng.randn(M, K) * 0.1, jnp.bfloat16)
+xs = tuple(jax.block_until_ready(x0 + jnp.bfloat16(0.25 * i))
+           for i in range(REPS))
+del x0
 w = jnp.asarray(rng.randn(K, N) / np.sqrt(K), jnp.bfloat16)
 sc = jnp.ones((K,), jnp.float32)
 sh = jnp.zeros((K,), jnp.float32)
 
 
 @jax.jit
-def xla_ref(x, w):
-    acc = jnp.float32(0)
-    for r in range(REPS):
-        y = jnp.dot(x + jnp.bfloat16(r), w,
+def xla_ref(xs, w):
+    outs = []
+    for xr in xs:
+        y = jnp.dot(xr, w,
                     preferred_element_type=jnp.float32).astype(jnp.bfloat16)
         yf = y.astype(jnp.float32)
-        acc += yf.sum() + (yf * yf).sum()
-    return acc
+        outs.append((y, yf.sum(axis=0), (yf * yf).sum(axis=0)))
+    return outs
 
 
 def make_fused(tm, kind="act"):
     @jax.jit
-    def prog(x, w, sc, sh):
-        acc = jnp.float32(0)
-        for r in range(REPS):
-            xr = x + jnp.bfloat16(r)
+    def prog(xs, w, sc, sh):
+        outs = []
+        for xr in xs:
             if kind == "act":
                 terms = [("act", xr, w)]
             else:
                 terms = [("raw", [(xr, sc, sh)], w)]
-            y, s, ss = fused_gemm_stats(terms, tm=tm)
-            acc += s.sum() + ss.sum() + y.astype(jnp.float32).sum()
-        return acc
+            outs.append(fused_gemm_stats(terms, tm=tm))
+        return outs
     return prog
 
 
 if __name__ == "__main__":
     print("device:", jax.devices()[0])
-    # XLA also pays a stats pass; make it comparable (y sum + y*y sum)
-    timed("xla dot+stats", xla_ref, x, w)
+    timed("xla dot+stats", xla_ref, xs, w)
     for tm in (512, 1024, 2048, 4096, 8192):
-        timed(f"fused act tm{tm}", make_fused(tm), x, w, sc, sh)
-    timed("fused raw tm2048", make_fused(2048, "raw"), x, w, sc, sh)
+        timed(f"fused act tm{tm}", make_fused(tm), xs, w, sc, sh)
+    timed("fused raw tm2048", make_fused(2048, "raw"), xs, w, sc, sh)
