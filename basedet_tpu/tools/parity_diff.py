@@ -111,6 +111,15 @@ def dump_activations(model, variables, image: np.ndarray,
 def _cmd_dump(args):
     import jax
 
+    if args.backend:
+        # This environment's site hook re-registers the axon TPU plugin
+        # regardless of JAX_PLATFORMS in the process env, so the env var
+        # alone cannot select a backend here — only a post-import
+        # jax.config.update is authoritative (same pattern as
+        # tests/conftest.py). Without this, a "CPU" dump silently runs
+        # on the TPU and a CPU-vs-TPU diff compares the chip to itself.
+        jax.config.update("jax_platforms", args.backend)
+
     from basedet_tpu.tools.misc import import_config
     from basedet_tpu.utils import all_register
 
@@ -145,7 +154,12 @@ def _cmd_dump(args):
     payload = {
         "activations": acts,
         "input": image,
-        "meta": {"config": args.config, "weights": args.weights},
+        "meta": {
+            "config": args.config,
+            "weights": args.weights,
+            "backend": jax.default_backend(),
+            "device": str(jax.devices()[0]),
+        },
     }
     with open(args.out, "wb") as f:
         pickle.dump(payload, f)
@@ -196,6 +210,17 @@ def _cmd_diff(args):
         ours = pickle.load(f)
     with open(args.ref, "rb") as f:
         ref = pickle.load(f)
+    meta_a = ours.get("meta", {}) if isinstance(ours, dict) else {}
+    meta_b = ref.get("meta", {}) if isinstance(ref, dict) else {}
+    if meta_a.get("device") or meta_b.get("device"):
+        print(f"ours: backend={meta_a.get('backend')} "
+              f"device={meta_a.get('device')}")
+        print(f"ref:  backend={meta_b.get('backend')} "
+              f"device={meta_b.get('device')}")
+        if meta_a.get("device") and meta_a.get("device") == meta_b.get("device"):
+            print("WARNING: both dumps were produced on the SAME device — "
+                  "a cross-backend diff needs one dump per backend "
+                  "(dump with --backend cpu for the host side)")
     if ours.get("input") is not None and ref.get("input") is not None:
         if not np.array_equal(np.asarray(ours["input"]),
                               np.asarray(ref["input"])):
@@ -233,6 +258,9 @@ def main(argv=None):
     d.add_argument("--image", default=None, help=".npy (H,W,3) raw pixels")
     d.add_argument("--size", type=int, default=512)
     d.add_argument("-o", "--out", required=True)
+    d.add_argument("--backend", default=None,
+                   help="force a jax backend for this dump (e.g. cpu); "
+                        "needed because the env pins JAX_PLATFORMS")
     d.add_argument("opts", nargs="*", default=[])
     c = sub.add_parser("diff")
     c.add_argument("ours")

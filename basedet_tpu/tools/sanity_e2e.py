@@ -114,9 +114,17 @@ def _make_cfg(model: str, args):
     if model not in ("detr", "yolox"):
         cfg.SOLVER.BASIC_LR = 0.01 / 16
     cfg.SOLVER.WARM_ITERS = 100
-    cfg.TRAINER.GRAD_CLIP = dict(
-        ENABLE=True, TYPE="norm", ARGS=dict(max_norm=10.0)
-    )
+    if model not in ("yolox", "detr"):
+        # R-CNN-family stabilizer for from-scratch synthetic training. NOT
+        # applied to YOLOX: its sum/num_fg losses have init grad norms in
+        # the hundreds, and a global clip of 10 scales every update by
+        # ~10/400 — a single-batch overfit probe showed loss pinned at
+        # ~12 for 300 steps WITH the clip vs 12.0→3.1 in 200 steps
+        # without it (the reference trains YOLOX unclipped; only DETR
+        # clips, at 0.1 — keep DETR's own config value too).
+        cfg.TRAINER.GRAD_CLIP = dict(
+            ENABLE=True, TYPE="norm", ARGS=dict(max_norm=10.0)
+        )
     cfg.SOLVER.NUM_IMAGE_PER_EPOCH = 200
     cfg.SOLVER.MAX_EPOCH = max(1, args.steps * args.batch // 200)
     cfg.TEST.CLS_THRESHOLD = 0.05

@@ -93,3 +93,46 @@ def test_container_flatten_nested():
         "fpn/__call__": [np.zeros((1, 2)), np.ones((1, 2))],
     })
     assert set(flat) == {"res2", "fpn.0", "fpn.1"}
+
+
+def test_diff_cli_warns_on_same_device(tmp_path, capsys):
+    """A cross-backend diff where both dumps came off the same chip is
+    vacuous (this bit a real run: the env's site hook re-registers the TPU
+    plugin, so JAX_PLATFORMS=cpu alone did NOT move the dump to the host
+    and the 'CPU' side silently ran on TPU — all-zero diffs)."""
+    import pickle
+
+    from basedet_tpu.tools.parity_diff import main
+
+    payload = {
+        "activations": {"res3": np.ones((1, 2, 2, 3), np.float32)},
+        "input": np.zeros((1, 4, 4, 3), np.float32),
+        "meta": {"backend": "tpu", "device": "TPU_0(process=0,(0,0,0,0))"},
+    }
+    a, b = tmp_path / "a.pkl", tmp_path / "b.pkl"
+    for path in (a, b):
+        with open(path, "wb") as f:
+            pickle.dump(payload, f)
+    main(["diff", str(a), str(b)])
+    out = capsys.readouterr().out
+    assert "SAME device" in out
+    assert "PARITY OK" in out  # identical payloads still diff clean
+
+
+def test_dump_cli_records_backend(tmp_path):
+    """dump --backend cpu must pin the backend post-import (env vars are
+    not authoritative here) and record backend+device in the meta block."""
+    import pickle
+
+    from basedet_tpu.tools.parity_diff import main
+
+    out = tmp_path / "dump.pkl"
+    main([
+        "dump", "--size", "64", "--backend", "cpu", "-o", str(out),
+        "MODEL.BACKBONE.NAME", "resnet18", "DATA.NUM_CLASSES", "3",
+    ])
+    with open(out, "rb") as f:
+        payload = pickle.load(f)
+    assert payload["meta"]["backend"] == "cpu"
+    assert "cpu" in payload["meta"]["device"].lower()
+    assert payload["activations"]
