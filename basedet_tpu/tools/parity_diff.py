@@ -149,7 +149,16 @@ def _cmd_dump(args):
     if args.weights:
         variables = model.load_weights(variables, args.weights)
 
-    acts = dump_activations(model, variables, image)
+    if args.precision:
+        # TPU f32 convs default to single-pass bf16 on the MXU — fine for
+        # training, but it dominates a cross-backend activation diff
+        # (measured: max_abs up to 0.22 on RetinaNet FPN outputs vs CPU at
+        # default precision). "highest" forces f32-accurate passes so the
+        # diff bounds true numeric drift instead of the matmul mode.
+        with jax.default_matmul_precision(args.precision):
+            acts = dump_activations(model, variables, image)
+    else:
+        acts = dump_activations(model, variables, image)
     acts = {k: np.asarray(jax.device_get(v)) for k, v in acts.items()}
     payload = {
         "activations": acts,
@@ -159,6 +168,7 @@ def _cmd_dump(args):
             "weights": args.weights,
             "backend": jax.default_backend(),
             "device": str(jax.devices()[0]),
+            "matmul_precision": args.precision or "default",
         },
     }
     with open(args.out, "wb") as f:
@@ -193,10 +203,15 @@ def diff_dumps(ours: Dict, ref: Dict, rtol=1e-4, atol=1e-4,
         max_abs = float(np.max(np.abs(a64 - b64))) if a.size else 0.0
         denom = np.abs(b64) + 1e-12
         max_rel = float(np.max(np.abs(a64 - b64) / denom)) if a.size else 0.0
+        # scale-aware drift: max_abs relative to the stage's own spread.
+        # max_rel explodes near zero crossings; this is the per-stage
+        # tolerance number parity day should budget against.
+        std = float(np.std(b64)) if a.size else 0.0
+        abs_over_std = max_abs / (std + 1e-12)
         close = bool(np.allclose(a64, b64, rtol=rtol, atol=atol))
         rows.append(dict(stage=k, status="OK" if close else "DIVERGED",
                          max_abs=max_abs, max_rel=max_rel,
-                         shape=tuple(a.shape)))
+                         abs_over_std=abs_over_std, shape=tuple(a.shape)))
         ok = ok and close
     for k in sorted(set(a_all) - set(b_all)):
         rows.append(dict(stage=k, status="OURS-ONLY"))
@@ -235,10 +250,12 @@ def _cmd_diff(args):
     for r in rows:
         if r["status"] == "OK":
             print(f"  OK        {r['stage']:40s} max_abs={r['max_abs']:.3e} "
+                  f"abs/std={r['abs_over_std']:.3e} "
                   f"max_rel={r['max_rel']:.3e} {r['shape']}")
         elif r["status"] == "DIVERGED":
             first_bad = first_bad or r["stage"]
             print(f"  DIVERGED  {r['stage']:40s} max_abs={r['max_abs']:.3e} "
+                  f"abs/std={r['abs_over_std']:.3e} "
                   f"max_rel={r['max_rel']:.3e} {r['shape']}")
         else:
             print(f"  {r['status']:9s} {r['stage']}")
@@ -261,6 +278,11 @@ def main(argv=None):
     d.add_argument("--backend", default=None,
                    help="force a jax backend for this dump (e.g. cpu); "
                         "needed because the env pins JAX_PLATFORMS")
+    d.add_argument("--precision", default=None,
+                   choices=("default", "float32", "highest", "high",
+                            "bfloat16_3x", "tensorfloat32", "bfloat16"),
+                   help="jax.default_matmul_precision for the forward; "
+                        "'highest' for cross-backend drift bounding")
     d.add_argument("opts", nargs="*", default=[])
     c = sub.add_parser("diff")
     c.add_argument("ours")
