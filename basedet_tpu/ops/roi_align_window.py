@@ -466,13 +466,19 @@ def _v3_fwd(features, rois, strides, output_size, sampling_ratio, aligned,
         p["geom"], interpret,
     )
 
-    # exactness fallback: boundary / uncovered groups via the dense kernels
+    # exactness fallback: boundary / uncovered groups via the dense kernels.
+    # The dense kernels group at their own _G (8); our group size may be a
+    # multiple of it — repeat the mask to subgroup granularity.
+    from basedet_tpu.ops.roi_align_pallas import _G as _G_DENSE
+
+    rep = max(_G // _G_DENSE, 1)
+    mask_ov_d = [jnp.repeat(m, rep, axis=1) for m in p["mask_ov"]]
     any_ov = sum(m.sum() for m in p["mask_ov"]) > 0
 
     def ov_branch(feats):
         o = None
         for feat, (py_d, px_d, _, _), m_ov in zip(
-            feats, p["dense"], p["mask_ov"]
+            feats, p["dense"], mask_ov_d
         ):
             x = _level_call_fwd(feat, py_d, px_d, m_ov, interpret)
             o = x if o is None else o + x
@@ -540,6 +546,10 @@ def _v3_bwd(strides, output_size, sampling_ratio, aligned, canonical_level,
             # small level (W < Ww): dense backward for all active groups
             m_dense = act
 
+        # dense kernels group at their own _G (8) — subgroup granularity
+        from basedet_tpu.ops.roi_align_pallas import _G as _G_DENSE
+
+        m_dense = jnp.repeat(m_dense, max(_G // _G_DENSE, 1), axis=1)
         any_d = m_dense.sum() > 0
         df_d = jax.lax.cond(
             any_d,

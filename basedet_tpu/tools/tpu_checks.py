@@ -142,6 +142,33 @@ def main(args=None):
         "roi_align bwd fused==separable", gerr < 2e-2, f"(rel err {gerr:.2e})"
     ))
 
+    # -- 3b. v3 window RoIAlign vs separable oracle (values + dF) -----------
+    from basedet_tpu.ops.roi_align_window import pool_rois_window
+
+    got3 = np.asarray(
+        jax.jit(lambda fs, r: pool_rois_window(fs, r, strides, (7, 7)))(
+            tuple(feats), rois
+        )
+    ).astype(np.float32)
+    err3 = float(np.max(np.abs(got3 - ref32))) / (
+        float(np.max(np.abs(ref32))) + 1e-6
+    )
+    results.append(check(
+        "roi_align v3 window==separable", err3 < 1e-2, f"(rel err {err3:.2e})"
+    ))
+    gw3 = jax.grad(
+        lambda fs: jnp.sum(pool_rois_window(fs, rois, strides, (7, 7)) * w)
+    )(tuple(feats))
+    gerr3 = max(
+        float(np.max(np.abs(
+            np.asarray(a, np.float32) - np.asarray(b, np.float32)
+        ))) / (float(np.max(np.abs(np.asarray(b, np.float32)))) + 1e-6)
+        for a, b in zip(gw3, gr)
+    )
+    results.append(check(
+        "roi_align v3 bwd==separable", gerr3 < 2e-2, f"(rel err {gerr3:.2e})"
+    ))
+
     # -- 4. one-hot gather exactness on TPU (Precision.HIGHEST contract) ----
     from basedet_tpu.layers.common.function import onehot_gather_rows
 

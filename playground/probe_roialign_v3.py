@@ -121,6 +121,38 @@ def main():
         timed(f"{name} fwd", prog_f, feats, rois)
         timed(f"{name} fwd+bwd", prog_fb, feats, rois)
 
+    # -- config sweep: group size / window extent (overflow vs steps/VMEM)
+    for Gc, hw, ww in ((8, 96, 96), (16, 96, 64), (16, 96, 96)):
+        raw._G, raw._HW, raw._WW = Gc, hw, ww
+        p = jax.jit(
+            lambda fs, r: raw._prepare_v3(fs, r, STRIDES, (7, 7), 2, True,
+                                          4, 224, raw._HW, raw._WW)
+        )(feats, rois)
+        n_act = sum(int(np.asarray(a).sum()) for a in p["act"])
+        n_win = int(np.asarray(p["lvl_sel"] >= 0).sum())
+        print(f"G={Gc} win=({hw},{ww}): active {n_act} windowed {n_win} "
+              f"overflow {100.0 * (n_act - n_win) / max(n_act, 1):.1f}%",
+              flush=True)
+
+        @jax.jit
+        def prog_fb(fs, r):
+            def loss(fs):
+                acc = jnp.float32(0)
+                for k in range(REPS):
+                    acc += raw.pool_rois_window(
+                        fs, r + jnp.float32(k), STRIDES, (7, 7)
+                    ).astype(jnp.float32).sum()
+                return acc
+            l, g2_ = jax.value_and_grad(loss)(fs)
+            return l + sum(x.astype(jnp.float32).sum() for x in g2_)
+
+        try:
+            timed(f"v3 G={Gc} win=({hw},{ww}) fwd+bwd", prog_fb, feats, rois)
+        except Exception as e:  # VMEM overflow configs report and continue
+            print(f"v3 G={Gc} win=({hw},{ww}) FAILED: "
+                  f"{type(e).__name__}: {str(e)[:200]}", flush=True)
+    raw._G, raw._HW, raw._WW = 8, 64, 64
+
 
 if __name__ == "__main__":
     main()

@@ -155,3 +155,35 @@ def test_morton_locality():
     m = raw._morton16(jnp.asarray([0, 0, 1, 255]), jnp.asarray([0, 1, 0, 255]))
     assert list(np.asarray(m)[:3]) == [0, 1, 2]
     assert int(np.asarray(m)[3]) == 65535
+
+
+def test_group16_matches_oracle(monkeypatch):
+    """G is a tunable (G=16 halves grid steps); dense-fallback masks must
+    re-granulate to the v2 kernels' own group size."""
+    monkeypatch.setattr(raw, "_G", 16)
+    rng = np.random.RandomState(6)
+    feats = make_feats(rng)
+    r = np.asarray(rois_random(rng, 32)).copy()
+    r[:, :4, 1] = 0.0
+    r[:, :4, 3] = IMG - 1.0
+    r[:, :4, 0] = np.arange(4)[None] * 11.0
+    r[:, :4, 2] = r[:, :4, 0] + 3.0  # overflow rois
+    rois = jnp.asarray(r.astype(np.float32))
+    _check(feats, rois)
+
+    gw = jnp.asarray(rng.randn(B, 32, 7, 7, C).astype(np.float32))
+
+    def loss_v3(fs):
+        out = raw.pool_rois_window(fs, rois, STRIDES, (7, 7), interpret=True)
+        return jnp.sum(out * gw)
+
+    def loss_oracle(fs):
+        out = multilevel_roi_align_batched(list(fs), rois, STRIDES, (7, 7))
+        return jnp.sum(out * gw)
+
+    g3 = jax.grad(loss_v3)(tuple(feats))
+    go = jax.grad(loss_oracle)(tuple(feats))
+    for a, b in zip(g3, go):
+        np.testing.assert_allclose(
+            np.asarray(a), np.asarray(b), atol=3e-5, rtol=1e-4
+        )
