@@ -323,7 +323,9 @@ def pool_rois_multilevel(
     # Pallas path needs: TPU backend, C a multiple of 128 (Mosaic lane-dim
     # block constraint), bf16 features (the f32 VMEM working set at P2 does
     # not fit). Production detection runs AMP bf16 with C=256.
-    # BASEDET_ROIALIGN_BACKEND={pallas,xla} forces a path (A/B benchmarking).
+    # BASEDET_ROIALIGN_BACKEND={pallas,window,xla} forces a path
+    # (A/B benchmarking): pallas = v2 dense-separable, window = v3
+    # Morton-clustered windows (ops/roi_align_window.py).
     import os
 
     force = os.environ.get("BASEDET_ROIALIGN_BACKEND")
@@ -332,13 +334,19 @@ def pool_rois_multilevel(
         and features[0].dtype == jnp.bfloat16
         and features[0].shape[-1] % 128 == 0
     )
-    if force == "pallas" and not supported:
+    if force in ("pallas", "window") and not supported:
         # fail loudly: silently timing the XLA path as "pallas" corrupts A/Bs
         raise ValueError(
-            "BASEDET_ROIALIGN_BACKEND=pallas but the fused kernel needs "
+            f"BASEDET_ROIALIGN_BACKEND={force} but the fused kernel needs "
             "TPU + bf16 features + C % 128 == 0 "
             f"(backend={jax.default_backend()}, dtype={features[0].dtype}, "
             f"C={features[0].shape[-1]})"
+        )
+    if force == "window":
+        from basedet_tpu.ops.roi_align_window import pool_rois_window
+
+        return pool_rois_window(
+            list(features), rois, strides, output_size
         )
     usable = supported and force != "xla"
     if not usable:

@@ -115,10 +115,14 @@ def _axis_weights_win(lo_coord, bin_size, pool_dim, sampling_ratio, size,
 
 def _window_start(gmin, gmax, wl, size):
     """8-aligned window origin centered on the group support, clamped so
-    the (wl)-row window stays in bounds."""
+    the (wl)-row window stays in bounds. The clamp bound is also 8-aligned:
+    the kernel promises `pl.multiple_of(start, 8)` to Mosaic, so a
+    non-aligned clamp (size - wl not a multiple of 8) would be a lie —
+    edge groups a shorter aligned window cannot cover route to the dense
+    fallback instead."""
     s = (gmin + gmax + 1 - wl) // 2
     s = (s // 8) * 8
-    return jnp.clip(s, 0, max(size - wl, 0))
+    return jnp.clip(s, 0, max(((size - wl) // 8) * 8, 0))
 
 
 def _prepare_v3(features, rois, strides, output_size, sampling_ratio,
@@ -154,7 +158,13 @@ def _prepare_v3(features, rois, strides, output_size, sampling_ratio,
     dense = []
     for li, (feat, stride) in enumerate(zip(features, strides)):
         H, W = feat.shape[1], feat.shape[2]
-        hwl, wwl = min(hw, H), min(ww, W)
+        hwl = min(hw, H)
+        # W is the second-to-minor (sublane) axis of the feature memref:
+        # Mosaic requires W-axis slice extents to be multiples of the tile
+        # (8). Levels smaller than the window span the whole level rounded
+        # up to 8 — _v3_fwd zero-pads those features so the DMA stays in
+        # bounds (weight columns beyond W are zero, so padding is inert).
+        wwl = min(ww, -(-W // 8) * 8)
         scale = 1.0 / stride
         x1 = rois_s[..., 0] * scale - half
         y1 = rois_s[..., 1] * scale - half
@@ -461,8 +471,16 @@ def _v3_fwd(features, rois, strides, output_size, sampling_ratio, aligned,
         features, rois, strides, output_size, sampling_ratio, aligned,
         canonical_level, canonical_box_size, _HW, _WW,
     )
+    # levels narrower than their (8-aligned) window extent get zero-padded
+    # W so the window DMA slice is in bounds; the padded columns carry zero
+    # weight in px_w, so they contribute exactly 0
+    feats_w = tuple(
+        jnp.pad(f, ((0, 0), (0, 0), (0, wwl - f.shape[2]), (0, 0)))
+        if wwl > f.shape[2] else f
+        for f, (_, _, _, wwl) in zip(features, p["geom"])
+    )
     out = _call_fwd_win(
-        features, p["py_w"], p["px_w"], p["lvl_sel"], p["sy"], p["sx"],
+        feats_w, p["py_w"], p["px_w"], p["lvl_sel"], p["sy"], p["sx"],
         p["geom"], interpret,
     )
 
