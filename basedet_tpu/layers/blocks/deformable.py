@@ -51,7 +51,13 @@ def _bilinear_sample(img: jnp.ndarray, y: jnp.ndarray, x: jnp.ndarray) -> jnp.nd
     axc = jnp.clip(ax, 0, W)
     flat = (ayc * (W + 1) + axc).reshape(-1)
     shape = y.shape
-    v = blk[flat].reshape(*shape, 4, C)
+    # gather_rows_st routes the gather's transpose (dBlk) through a one-hot
+    # MXU matmul instead of XLA's serialized scatter-add when the block
+    # table is small — the scatter is the dominant cost of the CenterNet
+    # train step (ops/scatter_onehot.py)
+    from basedet_tpu.ops.scatter_onehot import gather_rows_st
+
+    v = gather_rows_st(blk, flat).reshape(*shape, 4, C)
 
     w = jnp.stack(
         [

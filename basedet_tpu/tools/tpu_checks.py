@@ -184,6 +184,32 @@ def main(args=None):
         np.array_equal(out, table[::-1]),
     ))
 
+    # -- 5. one-hot row-scatter (DCN dF) vs XLA scatter-add on TPU ----------
+    from basedet_tpu.ops.scatter_onehot import scatter_rows_onehot
+
+    sidx = jnp.asarray(
+        np.random.RandomState(7).randint(0, 441, 3600).astype(np.int32)
+    )
+    svals = jnp.asarray(
+        np.random.RandomState(8).randn(3600, 256).astype(np.float32),
+        dtype=jnp.bfloat16,
+    )
+    s_got = np.asarray(jax.jit(
+        lambda i, v: scatter_rows_onehot(i, v, 441)
+    )(sidx, svals))
+    s_ref = np.asarray(
+        jnp.zeros((441, 256), jnp.float32).at[sidx].add(
+            svals.astype(jnp.float32)
+        )
+    )
+    s_err = float(np.max(np.abs(s_got - s_ref))) / (
+        float(np.max(np.abs(s_ref))) + 1e-6
+    )
+    results.append(check(
+        "scatter_rows_onehot==scatter-add", s_err < 1e-2,
+        f"(rel err {s_err:.2e})",
+    ))
+
     ok = all(results)
     print("ALL OK" if ok else "FAILURES PRESENT", flush=True)
     return 0 if ok else 1
