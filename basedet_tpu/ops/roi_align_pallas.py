@@ -342,7 +342,10 @@ def pool_rois_multilevel(
             f"(backend={jax.default_backend()}, dtype={features[0].dtype}, "
             f"C={features[0].shape[-1]})"
         )
-    if force == "window":
+    if force == "window" or (supported and force is None):
+        # v3 windows are the TPU default: in-train FRCNN b8@640 A/B
+        # 110.5 vs 104.3 img/s over v2 dense (benchmark.json, round 4),
+        # hardware equality gates green (tools/tpu_checks 4b/4c)
         from basedet_tpu.ops.roi_align_window import pool_rois_window
 
         return pool_rois_window(

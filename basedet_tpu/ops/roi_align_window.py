@@ -349,8 +349,12 @@ def _bwd_kernel_win(mask_ref, sx_ref, py_ref, px_ref, g_ref, df_ref,
                     acc_ref):
     """Chunked-accumulator dF with x-windowed stage 2.
 
-    py (1, G*ph, hs): dense rows of one H-chunk; px (1, G, Ww, pw) windowed;
-    g (1, G, ph, pw, CT); df (1, hs, W, CT); acc (hs, W, CT) f32 scratch;
+    py (1, 1, 1, hs, G*ph): one H-chunk of the dense y-weights, pre-chunked
+    on the host (the (B, R*ph, H) layout cannot be lane-sliced at hs<128 —
+    Mosaic requires lane blocks to be 128-divisible or span the axis, so
+    the chunk axis is hoisted into the grid dims and hs sits on sublanes);
+    px (1, G, Ww, pw) windowed; g (1, G, ph, pw, CT); df (1, hs, W, CT);
+    acc (hs, W, CT) f32 scratch;
     mask (B, NC, NRG) = active-here AND window-covered AND chunk-intersecting.
     """
     b = pl.program_id(0)
@@ -358,7 +362,7 @@ def _bwd_kernel_win(mask_ref, sx_ref, py_ref, px_ref, g_ref, df_ref,
     g = pl.program_id(3)
     n_g = pl.num_programs(3)
     ph = g_ref.shape[2]
-    G = py_ref.shape[1] // ph
+    G = g_ref.shape[1]
 
     @pl.when(g == 0)
     def _init():
@@ -375,9 +379,9 @@ def _bwd_kernel_win(mask_ref, sx_ref, py_ref, px_ref, g_ref, df_ref,
         u2 = jnp.transpose(u, (0, 2, 1, 3))
         u2 = u2.reshape(G * ph, u2.shape[2], u2.shape[3])
         v = jax.lax.dot_general(
-            py_ref[0],  # (G*ph, hs)
+            py_ref[0, 0, 0],  # (hs, G*ph)
             u2,  # (G*ph, Ww, CT)
-            (((0,), (0,)), ((), ())),
+            (((1,), (0,)), ((), ())),
             preferred_element_type=jnp.float32,
         )  # (hs, Ww, CT)
         sx = pl.multiple_of(sx_ref[b, g], 8)
@@ -409,7 +413,13 @@ def _call_bwd_win(grads, f_shape, f_dtype, py_d, px_w, sx, mask_bcg,
     nrg = R // G
     hs = _chunk_rows(H, W, CT)
     nc = -(-H // hs)
-    py2 = py_d.reshape(B, R * ph, H)
+    # pre-chunk py to (B, nc, nrg, hs, G*ph): the trailing block dims
+    # (hs, G*ph) then span their axes exactly (Mosaic lane/sublane
+    # legality); padded tail-chunk rows carry zero weight -> contribute 0
+    py_t = jnp.swapaxes(py_d.reshape(B, R * ph, H), 1, 2)  # (B, H, R*ph)
+    if nc * hs != H:
+        py_t = jnp.pad(py_t, ((0, 0), (0, nc * hs - H), (0, 0)))
+    py_c = py_t.reshape(B, nc, hs, nrg, G * ph).transpose(0, 1, 3, 2, 4)
     px2 = jnp.swapaxes(px_w, 2, 3)  # (B, R, Ww, pw)
 
     return pl.pallas_call(
@@ -419,7 +429,8 @@ def _call_bwd_win(grads, f_shape, f_dtype, py_d, px_w, sx, mask_bcg,
             grid=(B, C // CT, nc, nrg),
             in_specs=[
                 pl.BlockSpec(
-                    (1, G * ph, hs), lambda b, ct, c, g, *_: (b, g, c),
+                    (1, 1, 1, hs, G * ph),
+                    lambda b, ct, c, g, *_: (b, c, g, 0, 0),
                     memory_space=pltpu.VMEM,
                 ),
                 pl.BlockSpec(
@@ -440,7 +451,7 @@ def _call_bwd_win(grads, f_shape, f_dtype, py_d, px_w, sx, mask_bcg,
         ),
         out_shape=jax.ShapeDtypeStruct((B, H, W, C), f_dtype),
         interpret=interpret,
-    )(mask_bcg, sx, py2, px2, grads)
+    )(mask_bcg, sx, py_c, px2, grads)
 
 
 # -- multilevel entry with custom VJP ----------------------------------------

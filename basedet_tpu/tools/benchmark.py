@@ -57,6 +57,12 @@ class TrainBenchmark:
         cfg = _build(self.model_name, self.image_size, self.batch)
         if self.amp:
             cfg.TRAINER.AMP.ENABLE = True
+        # apply the compute policy BEFORE init: init traces the model too,
+        # and a forced kernel backend (BASEDET_ROIALIGN_BACKEND etc.) must
+        # see the same dtypes there as in the train step
+        from basedet_tpu.layers.precision import configure_from_cfg
+
+        configure_from_cfg(cfg)
         model = cfg.build_model()
         solver = cfg.build_solver()
         mesh = make_mesh((("data", 1),), devices=jax.devices()[:1])

@@ -4,6 +4,7 @@ compiled-vs-oracle equality on hardware and the window overflow rate.
 """
 from __future__ import annotations
 
+import os
 import time
 
 import jax
@@ -88,15 +89,18 @@ def main():
 
     g3 = gtest(lambda fs, r=rois: raw.pool_rois_window(fs, r, STRIDES, (7, 7)))
     g2 = gtest(lambda fs, r=rois: pool_rois_multilevel(fs, r, STRIDES, (7, 7)))
-    gerr = max(
-        float(jnp.max(jnp.abs(a.astype(jnp.float32) - b.astype(jnp.float32))))
-        for a, b in zip(g3, g2)
-    )
-    print(f"bwd v3 vs v2 max_abs dF: {gerr:.6f}", flush=True)
+    for a, b in zip(g3, g2):
+        d = float(jnp.max(jnp.abs(
+            a.astype(jnp.float32) - b.astype(jnp.float32))))
+        s = float(jnp.std(b.astype(jnp.float32))) + 1e-12
+        print(f"bwd dF H={a.shape[1]:4d} max_abs={d:.4f} "
+              f"abs/std={d / s:.3e}", flush=True)
 
-    # -- timing
+    # -- timing (force the v2 backend: the dispatch default is now v3)
+    os.environ["BASEDET_ROIALIGN_BACKEND"] = "pallas"
     for name, op in (
-        ("v2 dense", pool_rois_multilevel),
+        ("v2 dense", lambda fs, r: pool_rois_multilevel(
+            fs, r, STRIDES, (7, 7))),
         ("v3 window", lambda fs, r: raw.pool_rois_window(
             fs, r, STRIDES, (7, 7))),
     ):
@@ -120,6 +124,7 @@ def main():
 
         timed(f"{name} fwd", prog_f, feats, rois)
         timed(f"{name} fwd+bwd", prog_fb, feats, rois)
+    os.environ.pop("BASEDET_ROIALIGN_BACKEND", None)
 
     # -- config sweep: group size / window extent (overflow vs steps/VMEM)
     for Gc, hw, ww in ((8, 96, 96), (16, 96, 64), (16, 96, 96)):
