@@ -17,8 +17,9 @@ from flax import linen as nn
 from basedet_tpu.layers.precision import Conv, Dense
 
 
-def _bilinear_sample(img: jnp.ndarray, y: jnp.ndarray, x: jnp.ndarray) -> jnp.ndarray:
-    """img (H, W, C); y/x (...,) float coords. Zero padding outside.
+def _bilinear_sample_batched(img: jnp.ndarray, y: jnp.ndarray,
+                             x: jnp.ndarray) -> jnp.ndarray:
+    """img (B, H, W, C); y/x (B, ...) float coords. Zero padding outside.
 
     Block-gather formulation: the 2x2 corner block of every sample is ONE
     gathered (4C)-wide row from a zero-padded block table — TPU gather cost
@@ -26,38 +27,37 @@ def _bilinear_sample(img: jnp.ndarray, y: jnp.ndarray, x: jnp.ndarray) -> jnp.nd
     gathers (same trick as ops/roi_align.py; measured there). Zero padding
     reproduces the per-corner inside-mask semantics exactly for anchors in
     [-1, H]; anchors clamped from farther out are killed by ``valid``.
+
+    The batch dim is explicit (not vmapped) so the gather's transpose can
+    route to the batched Pallas one-hot scatter (ops/scatter_onehot.py) —
+    the scatter is the dominant cost of the CenterNet train step.
     """
-    H, W, C = img.shape
+    B, H, W, C = img.shape
     y0 = jnp.floor(y)
     x0 = jnp.floor(x)
     wy = (y - y0).astype(img.dtype)
     wx = (x - x0).astype(img.dtype)
 
-    fp = jnp.pad(img, ((1, 1), (1, 1), (0, 0)))  # zeros — (H+2, W+2, C)
+    fp = jnp.pad(img, ((0, 0), (1, 1), (1, 1), (0, 0)))  # (B, H+2, W+2, C)
     blk = jnp.concatenate(
         [
-            fp[: H + 1, : W + 1],
-            fp[: H + 1, 1 : W + 2],
-            fp[1 : H + 2, : W + 1],
-            fp[1 : H + 2, 1 : W + 2],
+            fp[:, : H + 1, : W + 1],
+            fp[:, : H + 1, 1 : W + 2],
+            fp[:, 1 : H + 2, : W + 1],
+            fp[:, 1 : H + 2, 1 : W + 2],
         ],
         axis=-1,
-    ).reshape((H + 1) * (W + 1), 4 * C)
+    ).reshape(B, (H + 1) * (W + 1), 4 * C)
 
     ay = y0.astype(jnp.int32) + 1  # anchor in padded coords
     ax = x0.astype(jnp.int32) + 1
     valid = (ay >= 0) & (ay <= H) & (ax >= 0) & (ax <= W)
     ayc = jnp.clip(ay, 0, H)
     axc = jnp.clip(ax, 0, W)
-    flat = (ayc * (W + 1) + axc).reshape(-1)
-    shape = y.shape
-    # gather_rows_st routes the gather's transpose (dBlk) through a one-hot
-    # MXU matmul instead of XLA's serialized scatter-add when the block
-    # table is small — the scatter is the dominant cost of the CenterNet
-    # train step (ops/scatter_onehot.py)
-    from basedet_tpu.ops.scatter_onehot import gather_rows_st
+    flat = (ayc * (W + 1) + axc).reshape(B, -1)
+    from basedet_tpu.ops.scatter_onehot import gather_rows_batched
 
-    v = gather_rows_st(blk, flat).reshape(*shape, 4, C)
+    v = gather_rows_batched(blk, flat).reshape(*y.shape, 4, C)
 
     w = jnp.stack(
         [
@@ -69,6 +69,12 @@ def _bilinear_sample(img: jnp.ndarray, y: jnp.ndarray, x: jnp.ndarray) -> jnp.nd
         axis=-1,
     ) * valid.astype(img.dtype)[..., None]  # (..., 4)
     return jnp.einsum("...k,...kc->...c", w, v)
+
+
+def _bilinear_sample(img: jnp.ndarray, y: jnp.ndarray, x: jnp.ndarray) -> jnp.ndarray:
+    """Unbatched wrapper of :func:`_bilinear_sample_batched` —
+    img (H, W, C); y/x (...,) float coords."""
+    return _bilinear_sample_batched(img[None], y[None], x[None])[0]
 
 
 class ModulatedDeformConv(nn.Module):
@@ -107,9 +113,7 @@ class ModulatedDeformConv(nn.Module):
         ys = gy[None, :, :, None] + ky[None, None, None, :] + offsets[..., 0]
         xs = gx_[None, :, :, None] + kx[None, None, None, :] + offsets[..., 1]
 
-        sampled = jax.vmap(
-            lambda img, yy, xx: _bilinear_sample(img, yy, xx)
-        )(x, ys, xs)  # (B, H, W, K, C)
+        sampled = _bilinear_sample_batched(x, ys, xs)  # (B, H, W, K, C)
         sampled = sampled * mask[..., None]
         sampled = sampled.reshape(B, H, W, K * C)
         return Dense(

@@ -37,6 +37,7 @@ import os
 import jax
 import jax.numpy as jnp
 import numpy as np
+from jax.experimental import pallas as pl
 
 # in-train crossover, NOT the standalone one: R=6561 wins standalone but
 # regresses the CenterNet step 86.9→79.6 img/s (see module doc; measured
@@ -79,9 +80,75 @@ def scatter_rows_onehot(idx: jnp.ndarray, values: jnp.ndarray,
 
 def _scatter_backend(n_rows: int) -> str:
     force = os.environ.get("BASEDET_DCN_SCATTER")
-    if force in ("onehot", "xla"):
+    if force in ("onehot", "xla", "pallas"):
         return force
     return "onehot" if n_rows <= _ONEHOT_MAX_ROWS else "xla"
+
+
+# -- Pallas variant: one-hot built in VMEM, accumulator VMEM-resident --------
+#
+# The XLA scan above materializes each (chunk, R) one-hot tile in HBM before
+# its dot (~27 MB/chunk at the 81x81 CenterNet table) and round-trips the
+# (R, D) f32 accumulator through the scan carry. This kernel builds the
+# one-hot tile in registers and revisits the output block across the
+# N-chunk grid axis, so HBM traffic is one read of idx+values and one write
+# of the result.
+
+
+def _scatter_oh_kernel(idx_ref, v_ref, out_ref, *, rb):
+    r = pl.program_id(1)
+    n = pl.program_id(3)
+    ch = idx_ref.shape[2]
+
+    @pl.when(n == 0)
+    def _init():
+        out_ref[...] = jnp.zeros_like(out_ref)
+
+    rows = jax.lax.broadcasted_iota(jnp.int32, (ch, rb), 1) + r * rb
+    oh = (idx_ref[0, 0] == rows).astype(v_ref.dtype)  # (CH, 1)==(CH, RB)
+    out_ref[0] += jax.lax.dot_general(
+        oh, v_ref[0, 0],  # (CH, RB), (CH, DT) — contract CH
+        (((0,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    )
+
+
+def scatter_rows_onehot_pallas(idx: jnp.ndarray, values: jnp.ndarray,
+                               n_rows: int,
+                               interpret: bool = False) -> jnp.ndarray:
+    """Batched ``zeros(R, D).at[idx].add(values)`` as a Pallas kernel.
+
+    idx (B, N) int32 (entries outside [0, n_rows) contribute nothing),
+    values (B, N, D) → (B, n_rows, D) f32. Requires D % 128 == 0.
+    """
+    B, N, D = values.shape
+    assert D % 128 == 0, D
+    RB = min(512, -(-n_rows // 8) * 8)
+    RP = -(-n_rows // RB) * RB
+    DT = min(2048, D)
+    CH = min(512, -(-N // 8) * 8)
+    NP = -(-N // CH) * CH
+    if NP != N:
+        # pad idx with RP: beyond every row block -> matches nothing
+        idx = jnp.pad(idx, ((0, 0), (0, NP - N)), constant_values=RP)
+        values = jnp.pad(values, ((0, 0), (0, NP - N), (0, 0)))
+    idx4 = idx.reshape(B, NP // CH, CH, 1)
+    v3 = values.reshape(B, NP // CH, CH, D)
+
+    out = pl.pallas_call(
+        functools.partial(_scatter_oh_kernel, rb=RB),
+        grid=(B, RP // RB, D // DT, NP // CH),
+        in_specs=[
+            pl.BlockSpec((1, 1, CH, 1), lambda b, r, d, n: (b, n, 0, 0)),
+            pl.BlockSpec((1, 1, CH, DT), lambda b, r, d, n: (b, n, 0, d)),
+        ],
+        out_specs=pl.BlockSpec(
+            (1, RB, DT), lambda b, r, d, n: (b, r, d)
+        ),
+        out_shape=jax.ShapeDtypeStruct((B, RP, D), jnp.float32),
+        interpret=interpret,
+    )(idx4, v3)
+    return out[:, :n_rows]
 
 
 @functools.lru_cache(maxsize=None)
@@ -116,3 +183,48 @@ def gather_rows_st(table: jnp.ndarray, idx: jnp.ndarray) -> jnp.ndarray:
     Forward is the native gather; backward routes dTable through the
     one-hot matmul transpose when the table is small (see module doc)."""
     return _gather_rows_fn(table.shape[0])(table, idx)
+
+
+@functools.lru_cache(maxsize=None)
+def _gather_rows_batched_fn(n_rows: int):
+    @jax.custom_vjp
+    def f(table, idx):  # (B, R, D), (B, N) -> (B, N, D)
+        return jnp.take_along_axis(table, idx[..., None], axis=1)
+
+    def fwd(table, idx):
+        return f(table, idx), (idx, jnp.zeros((0,), table.dtype))
+
+    def bwd(res, g):
+        idx, proto = res
+        backend = _scatter_backend(n_rows)
+        if backend == "pallas" and g.shape[-1] % 128 == 0:
+            dtable = scatter_rows_onehot_pallas(
+                idx, g, n_rows,
+                interpret=jax.default_backend() != "tpu",
+            )
+        elif backend in ("onehot", "pallas"):
+            dtable = jax.vmap(
+                lambda i, v: scatter_rows_onehot(i, v, n_rows)
+            )(idx, g)
+        else:
+            # native scatter-add in table dtype (identical numerics to the
+            # unbatched xla branch above)
+            dtable = jax.vmap(
+                lambda i, v: jnp.zeros(
+                    (n_rows, v.shape[-1]), proto.dtype
+                ).at[i].add(v)
+            )(idx, g.astype(proto.dtype))
+        return dtable.astype(proto.dtype), np.zeros(
+            idx.shape, jax.dtypes.float0
+        )
+
+    f.defvjp(fwd, bwd)
+    return f
+
+
+def gather_rows_batched(table: jnp.ndarray, idx: jnp.ndarray) -> jnp.ndarray:
+    """Batched ``table[b, idx[b]]`` — table (B, R, D), idx (B, N) int32
+    in-range → (B, N, D). Same backend routing as :func:`gather_rows_st`,
+    plus the Pallas scatter (BASEDET_DCN_SCATTER=pallas) which needs the
+    explicit batch dim (no vmap-of-pallas)."""
+    return _gather_rows_batched_fn(table.shape[1])(table, idx)

@@ -109,6 +109,11 @@ def main(args=None):
             np.float32
         )
     )
+    # force v2 dense here: the dispatch default is now v3 window (checked
+    # at 3b below); this gate keeps the v2 kernels honest
+    import os
+
+    os.environ["BASEDET_ROIALIGN_BACKEND"] = "pallas"
     got = np.asarray(pool_rois_multilevel(feats, rois, strides, (7, 7)))
     ref = np.asarray(
         multilevel_roi_align_batched(feats, rois, strides, (7, 7))
@@ -141,6 +146,7 @@ def main(args=None):
     results.append(check(
         "roi_align bwd fused==separable", gerr < 2e-2, f"(rel err {gerr:.2e})"
     ))
+    os.environ.pop("BASEDET_ROIALIGN_BACKEND", None)
 
     # -- 3b. v3 window RoIAlign vs separable oracle (values + dF) -----------
     from basedet_tpu.ops.roi_align_window import pool_rois_window
@@ -208,6 +214,20 @@ def main(args=None):
     results.append(check(
         "scatter_rows_onehot==scatter-add", s_err < 1e-2,
         f"(rel err {s_err:.2e})",
+    ))
+
+    # -- 5b. Pallas one-hot scatter (batched) vs the same oracle -------------
+    from basedet_tpu.ops.scatter_onehot import scatter_rows_onehot_pallas
+
+    sp_got = np.asarray(jax.jit(
+        lambda i, v: scatter_rows_onehot_pallas(i, v, 441)
+    )(sidx[None], svals[None]))[0]
+    sp_err = float(np.max(np.abs(sp_got - s_ref))) / (
+        float(np.max(np.abs(s_ref))) + 1e-6
+    )
+    results.append(check(
+        "scatter_rows_onehot_pallas==scatter-add", sp_err < 1e-2,
+        f"(rel err {sp_err:.2e})",
     ))
 
     ok = all(results)

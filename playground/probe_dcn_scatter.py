@@ -60,7 +60,7 @@ def main():
                 return acc
 
             grads = {}
-            for backend in ("xla", "onehot"):
+            for backend in ("xla", "onehot", "pallas"):
                 os.environ["BASEDET_DCN_SCATTER"] = backend
                 # new jit per backend: the env gate is read at trace time
                 prog = jax.jit(jax.grad(loss, argnums=1))
@@ -69,14 +69,15 @@ def main():
                     f"DCN {cin}->{cout}@{hw} R={n_rows} dF[{backend}]",
                     prog, dv, fs,
                 )
-            err = float(jnp.max(jnp.abs(
-                grads["xla"].astype(jnp.float32)
-                - grads["onehot"].astype(jnp.float32)
-            )))
-            rel = err / (float(jnp.std(
-                grads["xla"].astype(jnp.float32))) + 1e-12)
-            print(f"  dF onehot vs xla max_abs={err:.5f} "
-                  f"abs/std={rel:.2e}", flush=True)
+            for other in ("onehot", "pallas"):
+                err = float(jnp.max(jnp.abs(
+                    grads["xla"].astype(jnp.float32)
+                    - grads[other].astype(jnp.float32)
+                )))
+                rel = err / (float(jnp.std(
+                    grads["xla"].astype(jnp.float32))) + 1e-12)
+                print(f"  dF {other} vs xla max_abs={err:.5f} "
+                      f"abs/std={rel:.2e}", flush=True)
     os.environ.pop("BASEDET_DCN_SCATTER", None)
 
 

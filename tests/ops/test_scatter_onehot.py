@@ -5,8 +5,10 @@ import numpy as np
 import pytest
 
 from basedet_tpu.ops.scatter_onehot import (
+    gather_rows_batched,
     gather_rows_st,
     scatter_rows_onehot,
+    scatter_rows_onehot_pallas,
 )
 
 
@@ -87,6 +89,64 @@ def test_gather_grad_under_vmap_and_jit(monkeypatch):
     want = jax.grad(loss_ref)(tables)
     np.testing.assert_allclose(
         np.asarray(got), np.asarray(want), rtol=1e-5, atol=1e-5
+    )
+
+
+def test_scatter_pallas_matches_oracle_interpret():
+    # batched Pallas kernel (interpret mode on CPU) vs the scatter oracle,
+    # incl. shapes forcing row-block/chunk padding and D tiling
+    rng = np.random.RandomState(6)
+    for b, n, r, d in ((2, 300, 441, 128), (1, 2048, 600, 256),
+                       (3, 513, 6561, 128)):
+        idx = jnp.asarray(rng.randint(0, r, (b, n)).astype(np.int32))
+        vals = jnp.asarray(rng.randn(b, n, d).astype(np.float32))
+        got = scatter_rows_onehot_pallas(idx, vals, r, interpret=True)
+        want = jax.vmap(
+            lambda i, v: jnp.zeros((r, d), jnp.float32).at[i].add(v)
+        )(idx, vals)
+        assert got.shape == (b, r, d)
+        np.testing.assert_allclose(
+            np.asarray(got), np.asarray(want), rtol=1e-4, atol=1e-4
+        )
+
+
+def test_scatter_pallas_out_of_range_inert():
+    # caller pad convention: idx == n_rows must contribute nothing
+    rng = np.random.RandomState(7)
+    idx = jnp.asarray(
+        np.concatenate([rng.randint(0, 20, 30), np.full(10, 20)])
+        .astype(np.int32)[None]
+    )
+    vals = jnp.asarray(rng.randn(1, 40, 128).astype(np.float32))
+    got = scatter_rows_onehot_pallas(idx, vals, 20, interpret=True)
+    want = jnp.zeros((20, 128), jnp.float32).at[idx[0, :30]].add(
+        vals[0, :30]
+    )
+    np.testing.assert_allclose(
+        np.asarray(got[0]), np.asarray(want), rtol=1e-4, atol=1e-4
+    )
+
+
+@pytest.mark.parametrize("backend", ["onehot", "xla", "pallas"])
+def test_gather_batched_grad_matches_plain(monkeypatch, backend):
+    monkeypatch.setenv("BASEDET_DCN_SCATTER", backend)
+    rng = np.random.RandomState(8)
+    tables = jnp.asarray(rng.randn(2, 64, 128).astype(np.float32))
+    idx = jnp.asarray(rng.randint(0, 64, (2, 500)).astype(np.int32))
+    cot = jnp.asarray(rng.randn(2, 500, 128).astype(np.float32))
+
+    def loss(ts):
+        return jnp.sum(gather_rows_batched(ts, idx) * cot)
+
+    def loss_ref(ts):
+        return jnp.sum(
+            jnp.take_along_axis(ts, idx[..., None], axis=1) * cot
+        )
+
+    got = jax.jit(jax.grad(loss))(tables)
+    want = jax.grad(loss_ref)(tables)
+    np.testing.assert_allclose(
+        np.asarray(got), np.asarray(want), rtol=1e-4, atol=1e-4
     )
 
 
