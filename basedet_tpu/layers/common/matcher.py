@@ -206,31 +206,61 @@ def topk_dynamic_k_matching(
 
 
 def hungarian_match_owner(
-    cost: jnp.ndarray, n_iters: int = 300, eps_scale: float = 1e-4
+    cost: jnp.ndarray,
+    valid: jnp.ndarray | None = None,
+    n_iters: int = 1500,
+    eps_scale: float = 2e-3,
 ) -> jnp.ndarray:
     """On-device ASYMMETRIC auction assignment (DETR's Hungarian matching).
 
     Analogue of HungarianMatcher's scipy ``linear_sum_assignment`` host call
-    (matcher.py:54-103), re-designed for TPU as a fixed-iteration auction.
+    (matcher.py:54-103), re-designed for TPU as a fixed-capacity auction.
     Since targets (K) ≤ queries (Q), the TARGETS are the bidders: each
     unassigned target bids for its best query (net of prices); highest
-    bidder wins, evicting the previous owner. This converges: once every
-    target holds a distinct query, bidding stops. eps-complementary
-    slackness bounds suboptimality by K·eps.
+    bidder wins, evicting the previous owner. eps-complementary slackness
+    bounds suboptimality by V·eps (V = number of valid targets).
 
-    cost: (Q, K); invalid (padded) targets should carry +large cost.
-    Returns (K,) int32: query index owned by each target (-1 if unassigned,
-    which does not occur once iterations suffice).
+    Round-4 root cause of DETR non-convergence (logs/sanity_e2e_detr_long_r4
+    plateau at ~4.3): (a) callers padded invalid target columns with cost
+    1e6 and eps was scaled off max(cost)−min(cost), inflating eps ~1e5× —
+    bids dwarfed real cost differences and the matching was near-arbitrary;
+    (b) with K == Q (100 padded targets vs 100 queries) the ~94 uniform-
+    value padded bidders forced a perfect matching the 300-round cap could
+    not reach, so real targets came back owner = −1 and were silently
+    DROPPED from the loss. Fix: invalid targets never bid (they need no
+    owner — losses mask them), eps scales off the VALID cost range only
+    (measured: eps = 2e-3·range converges in ≤150 rounds at V = 60 with
+    gap ≤ 0.07 vs scipy; the while_loop exits at convergence so the cap is
+    rarely reached), and a greedy completion pass guarantees every valid
+    target ends with a distinct query even if the cap is hit.
+
+    cost: (Q, K); valid: (K,) bool (None = all valid).
+    Returns (K,) int32: query owned by each valid target; -2 for invalid.
     """
     Q, K = cost.shape
-    # scale eps to the cost range; suboptimality ≤ K · eps
-    eps = eps_scale * (jnp.max(cost) - jnp.min(cost) + 1e-6)
-    value_qk = -cost.T  # (K, Q) benefit of query q for target k
+    if valid is None:
+        valid = jnp.ones((K,), bool)
+    valid = valid.astype(bool)
+    vmax = jnp.max(jnp.where(valid[None, :], cost, -jnp.inf))
+    vmax = jnp.where(jnp.isfinite(vmax), vmax, 0.0)
+    vmin = jnp.min(jnp.where(valid[None, :], cost, jnp.inf))
+    vmin = jnp.where(jnp.isfinite(vmin), vmin, 0.0)
+    cost_range = jnp.maximum(vmax - vmin, 1e-6)
+    eps = eps_scale * cost_range
+    value_qk = jnp.where(valid[None, :], -cost, 0.0).T  # (K, Q) benefits
 
-    def body(_, state):
-        prices, q_of_k, k_of_q = state
-        # unassigned targets bid
-        unassigned = q_of_k < 0  # (K,)
+    q_idx = jnp.arange(Q, dtype=jnp.int32)
+    q_of_k = jnp.where(valid, -1, -2).astype(jnp.int32)
+    k_of_q = jnp.full((Q,), -1, jnp.int32)
+    prices = jnp.zeros((Q,))
+
+    def cond(state):
+        i, _, q_of_k, _ = state
+        return (i < n_iters) & jnp.any(q_of_k == -1)
+
+    def body(state):
+        i, prices, q_of_k, k_of_q = state
+        unassigned = q_of_k == -1  # (K,) only valid targets ever bid
         net = value_qk - prices[None, :]  # (K, Q)
         top2, top2_idx = jax.lax.top_k(net, 2)
         best_q = top2_idx[:, 0]
@@ -241,41 +271,42 @@ def hungarian_match_owner(
         won = win_bid > 0
 
         # evict previous owners of won queries
-        prev = jnp.where(won, k_of_q, -1)  # (Q,) item to evict or -1
-        q_of_k = q_of_k.at[jnp.where(prev >= 0, prev, K)].set(-1, mode="drop")
+        prev = jnp.where(won, k_of_q, -1)  # (Q,) target to evict or -1
+        q_of_k = q_of_k.at[jnp.where(prev >= 0, prev, K)].set(
+            -1, mode="drop"
+        )
         # assign winners
-        q_idx = jnp.arange(Q, dtype=jnp.int32)
         q_of_k = q_of_k.at[jnp.where(won, winner, K)].set(
             q_idx, mode="drop"
         )
         k_of_q = jnp.where(won, winner, k_of_q)
-        # clear stale k_of_q entries whose item moved elsewhere
+        # clear stale k_of_q entries whose target moved elsewhere
         stale = (k_of_q >= 0) & (
             q_of_k[jnp.clip(k_of_q, 0, K - 1)] != q_idx
         )
         k_of_q = jnp.where(stale, -1, k_of_q)
         prices = jnp.where(won, prices + win_bid, prices)
-        return prices, q_of_k, k_of_q
-
-    prices = jnp.zeros((Q,))
-    q_of_k = jnp.full((K,), -1, jnp.int32)
-    k_of_q = jnp.full((Q,), -1, jnp.int32)
-
-    # while_loop with early exit: once every target owns a query, bids are
-    # all zero and further iterations are no-ops — stopping there returns
-    # the IDENTICAL assignment to running all n_iters (only unassigned
-    # targets bid). Auction typically converges in ~K-2K rounds, so this
-    # cuts the sequential critical path several-fold on TPU.
-    def cond(state):
-        i, _, q_of_k, _ = state
-        return (i < n_iters) & jnp.any(q_of_k < 0)
-
-    def wbody(state):
-        i, prices, q_of_k, k_of_q = state
-        prices, q_of_k, k_of_q = body(i, (prices, q_of_k, k_of_q))
         return i + 1, prices, q_of_k, k_of_q
 
-    _, _, q_of_k, _ = jax.lax.while_loop(
-        cond, wbody, (jnp.asarray(0, jnp.int32), prices, q_of_k, k_of_q)
+    _, prices, q_of_k, k_of_q = jax.lax.while_loop(
+        cond, body, (jnp.asarray(0, jnp.int32), prices, q_of_k, k_of_q)
     )
+
+    # greedy completion: if the iteration cap left valid targets unassigned
+    # (pathological price wars), give each its best still-free query — a
+    # perfect matching over valid targets is guaranteed (V ≤ Q required).
+    owned = jnp.zeros((Q,), bool).at[
+        jnp.where(q_of_k >= 0, q_of_k, Q)
+    ].set(True, mode="drop")
+
+    def fill(k, state):
+        q_of_k, owned = state
+        need = q_of_k[k] == -1
+        net = jnp.where(owned, -jnp.inf, value_qk[k])
+        q = jnp.argmax(net).astype(jnp.int32)
+        q_of_k = q_of_k.at[k].set(jnp.where(need, q, q_of_k[k]))
+        owned = owned.at[q].set(owned[q] | need)
+        return q_of_k, owned
+
+    q_of_k, _ = jax.lax.fori_loop(0, K, fill, (q_of_k, owned))
     return q_of_k

@@ -145,8 +145,7 @@ class DETR(BaseNet):
             + m.SET_WEIGHT_BBOX * cost_bbox
             + m.SET_WEIGHT_GIOU * (-giou)
         )
-        cost = jnp.where(tgt_valid[None, :], cost, 1e6)
-        return hungarian_match_owner(cost)
+        return hungarian_match_owner(cost, valid=tgt_valid)
 
     def _layer_losses(self, logits, coords, tgt_boxes, tgt_cls, tgt_valid, num_boxes):
         """Losses for one decoder layer over the batch."""

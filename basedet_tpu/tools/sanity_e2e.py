@@ -84,6 +84,16 @@ def _make_cfg(model: str, args):
         cfg.MODEL.TRANSFORMER.NUM_ENCODERS = 2
         cfg.MODEL.TRANSFORMER.NUM_DECODERS = 2
         cfg.MODEL.NUM_QUERIES = 16
+        # synthetic-overfit stabilizers (probe logs/probe_detr_overfit2:
+        # perfect 2-image overfit in 200 steps with these; the production
+        # values — dropout 0.1, clip 0.1, lr 1e-4/16 — are the reference's
+        # 150-epoch COCO schedule and are far too conservative for a
+        # few-thousand-step synthetic run)
+        cfg.MODEL.TRANSFORMER.DROPOUT = 0.0
+        cfg.SOLVER.BASIC_LR = 5e-5
+        cfg.TRAINER.GRAD_CLIP = dict(
+            ENABLE=True, TYPE="norm", ARGS=dict(max_norm=1.0)
+        )
     elif model == "yolox":
         cfg = C.YOLOXNanoConfig()
         s = cfg.AUG.TRAIN_SETTING

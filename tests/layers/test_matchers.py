@@ -1,5 +1,6 @@
 """Matcher correctness: IoU matcher semantics, dynamic-k vs naive loop,
 auction assignment vs scipy's Hungarian oracle."""
+import jax
 import jax.numpy as jnp
 import numpy as np
 import pytest
@@ -88,6 +89,34 @@ def test_auction_matches_scipy_hungarian():
         optimal_cost = cost[rows, cols].sum()
         assert len(set(owner.tolist())) == K, "owners must be distinct"
         assert auction_cost <= optimal_cost + 0.05 * abs(optimal_cost) + 1e-3
+
+
+def test_auction_valid_mask_competitive():
+    """Round-4 DETR regression: padded (invalid) targets must not distort
+    the auction. Competitive cost structure (shared per-query quality, small
+    per-target differences) with K == Q and garbage 1e6 padding — exactly
+    the production DETR shape that made the old matcher near-arbitrary."""
+    from scipy.optimize import linear_sum_assignment
+
+    rng = np.random.RandomState(7)
+    hm = jax.jit(hungarian_match_owner)
+    for (Q, K, V) in [(100, 100, 15), (100, 100, 60), (16, 8, 5)]:
+        base = rng.randn(Q) * 3.0
+        cost = (base[:, None] + rng.randn(Q, K) * 0.3).astype(np.float32)
+        valid = np.zeros(K, bool)
+        valid[:V] = True
+        cost[:, V:] = 1e6  # garbage in padded columns must be ignored
+        owner = np.asarray(hm(jnp.asarray(cost), jnp.asarray(valid)))
+        ov = owner[:V]
+        assert (ov >= 0).all(), "every valid target must be assigned"
+        assert len(set(ov.tolist())) == V, "owners must be distinct"
+        ours = cost[ov, np.arange(V)].sum()
+        r, c = linear_sum_assignment(cost[:, :V].T)
+        opt = cost[c, r].sum()
+        # eps-optimality: subopt <= V * eps = V * 2e-3 * range (~0.25 here)
+        assert ours - opt <= 0.5, (ours, opt)
+        # invalid targets are flagged, not silently assigned
+        assert (owner[V:] == -2).all()
 
 
 def test_sinkhorn_plan_marginals():

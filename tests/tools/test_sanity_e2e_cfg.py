@@ -1,8 +1,10 @@
 """sanity_e2e config construction: the grad-clip stabilizer must apply to
 the R-CNN family only. YOLOX trains unclipped (reference trains YOLOX with
 no clip; a global max_norm=10 scales its ~400-norm init grads by ~40x and
-pins the loss) and DETR keeps its own config clip (max_norm=0.1,
-reference configs/detr_cfg analogue)."""
+pins the loss) and DETR uses the synthetic-overfit stabilizers (clip 1.0,
+dropout 0, lr 5e-5 — the production 0.1/0.1/1e-4 values are the reference's
+150-epoch COCO schedule and stall few-thousand-step synthetic runs; see
+logs/probe_detr_overfit2)."""
 from types import SimpleNamespace
 
 from basedet_tpu.tools.sanity_e2e import _make_cfg
@@ -28,10 +30,12 @@ def test_yolox_trains_unclipped():
     assert not cfg.TRAINER.GRAD_CLIP["ENABLE"]
 
 
-def test_detr_keeps_its_own_clip():
+def test_detr_synthetic_stabilizers():
     cfg = _make_cfg("detr", _args())
     gc = cfg.TRAINER.GRAD_CLIP
-    assert gc["ENABLE"] and gc["ARGS"]["max_norm"] == 0.1
+    assert gc["ENABLE"] and gc["ARGS"]["max_norm"] == 1.0
+    assert cfg.MODEL.TRANSFORMER.DROPOUT == 0.0
+    assert cfg.SOLVER.BASIC_LR == 5e-5
 
 
 def test_yolox_no_aug_flag():
