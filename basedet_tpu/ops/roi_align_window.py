@@ -174,6 +174,13 @@ def _prepare_v3(features, rois, strides, output_size, sampling_ratio,
         if not aligned:
             roi_w = jnp.maximum(roi_w, 1.0)
             roi_h = jnp.maximum(roi_h, 1.0)
+        # degenerate rois (x2 < x1 / y2 < y1) would flip the sample-coord
+        # direction and make _roi_support's min/max ends unsound — the
+        # `covered` gate could then pass while true bilinear support falls
+        # outside the DMA'd window. Call sites clip proposals today; clamp
+        # anyway so such a roi pools a point instead of corrupting output.
+        roi_w = jnp.maximum(roi_w, 0.0)
+        roi_h = jnp.maximum(roi_h, 0.0)
         m = lvl_s == li  # (B, R)
 
         rmin, rmax = _roi_support(y1, roi_h / ph, ph, sampling_ratio, H)

@@ -126,6 +126,11 @@ def scatter_rows_onehot_pallas(idx: jnp.ndarray, values: jnp.ndarray,
     RB = min(512, -(-n_rows // 8) * 8)
     RP = -(-n_rows // RB) * RB
     DT = min(2048, D)
+    # the channel grid uses floor division — pad D up to a DT multiple so
+    # trailing channels (e.g. D = 2176 with DT = 2048) are never dropped
+    DP = -(-D // DT) * DT
+    if DP != D:
+        values = jnp.pad(values, ((0, 0), (0, 0), (0, DP - D)))
     CH = min(512, -(-N // 8) * 8)
     NP = -(-N // CH) * CH
     if NP != N:
@@ -133,11 +138,11 @@ def scatter_rows_onehot_pallas(idx: jnp.ndarray, values: jnp.ndarray,
         idx = jnp.pad(idx, ((0, 0), (0, NP - N)), constant_values=RP)
         values = jnp.pad(values, ((0, 0), (0, NP - N), (0, 0)))
     idx4 = idx.reshape(B, NP // CH, CH, 1)
-    v3 = values.reshape(B, NP // CH, CH, D)
+    v3 = values.reshape(B, NP // CH, CH, DP)
 
     out = pl.pallas_call(
         functools.partial(_scatter_oh_kernel, rb=RB),
-        grid=(B, RP // RB, D // DT, NP // CH),
+        grid=(B, RP // RB, DP // DT, NP // CH),
         in_specs=[
             pl.BlockSpec((1, 1, CH, 1), lambda b, r, d, n: (b, n, 0, 0)),
             pl.BlockSpec((1, 1, CH, DT), lambda b, r, d, n: (b, n, 0, d)),
@@ -145,10 +150,10 @@ def scatter_rows_onehot_pallas(idx: jnp.ndarray, values: jnp.ndarray,
         out_specs=pl.BlockSpec(
             (1, RB, DT), lambda b, r, d, n: (b, r, d)
         ),
-        out_shape=jax.ShapeDtypeStruct((B, RP, D), jnp.float32),
+        out_shape=jax.ShapeDtypeStruct((B, RP, DP), jnp.float32),
         interpret=interpret,
     )(idx4, v3)
-    return out[:, :n_rows]
+    return out[:, :n_rows, :D]
 
 
 @functools.lru_cache(maxsize=None)

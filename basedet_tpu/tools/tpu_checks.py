@@ -110,43 +110,53 @@ def main(args=None):
         )
     )
     # force v2 dense here: the dispatch default is now v3 window (checked
-    # at 3b below); this gate keeps the v2 kernels honest
+    # at 3b below); this gate keeps the v2 kernels honest. Save/restore any
+    # user-set backend so a mid-check exception can't leak the forced value.
     import os
 
+    prior_backend = os.environ.get("BASEDET_ROIALIGN_BACKEND")
     os.environ["BASEDET_ROIALIGN_BACKEND"] = "pallas"
-    got = np.asarray(pool_rois_multilevel(feats, rois, strides, (7, 7)))
-    ref = np.asarray(
-        multilevel_roi_align_batched(feats, rois, strides, (7, 7))
-    )
-    got32, ref32 = got.astype(np.float32), ref.astype(np.float32)
-    err = float(np.max(np.abs(got32 - ref32))) / (
-        float(np.max(np.abs(ref32))) + 1e-6
-    )
-    results.append(check(
-        "roi_align fused==separable", err < 1e-2, f"(rel err {err:.2e})"
-    ))
-
-    # gradient path too (dF)
-    w = jnp.asarray(rng.randn(Bf, R, 7, 7, C).astype(np.float32),
-                    dtype=jnp.bfloat16)
-    gp = jax.grad(
-        lambda fs: jnp.sum(pool_rois_multilevel(fs, rois, strides, (7, 7)) * w)
-    )(feats)
-    gr = jax.grad(
-        lambda fs: jnp.sum(
-            multilevel_roi_align_batched(fs, rois, strides, (7, 7)) * w
+    try:
+        got = np.asarray(pool_rois_multilevel(feats, rois, strides, (7, 7)))
+        ref = np.asarray(
+            multilevel_roi_align_batched(feats, rois, strides, (7, 7))
         )
-    )(feats)
-    gerr = max(
-        float(np.max(np.abs(
-            np.asarray(a, np.float32) - np.asarray(b, np.float32)
-        ))) / (float(np.max(np.abs(np.asarray(b, np.float32)))) + 1e-6)
-        for a, b in zip(gp, gr)
-    )
-    results.append(check(
-        "roi_align bwd fused==separable", gerr < 2e-2, f"(rel err {gerr:.2e})"
-    ))
-    os.environ.pop("BASEDET_ROIALIGN_BACKEND", None)
+        got32, ref32 = got.astype(np.float32), ref.astype(np.float32)
+        err = float(np.max(np.abs(got32 - ref32))) / (
+            float(np.max(np.abs(ref32))) + 1e-6
+        )
+        results.append(check(
+            "roi_align fused==separable", err < 1e-2, f"(rel err {err:.2e})"
+        ))
+
+        # gradient path too (dF)
+        w = jnp.asarray(rng.randn(Bf, R, 7, 7, C).astype(np.float32),
+                        dtype=jnp.bfloat16)
+        gp = jax.grad(
+            lambda fs: jnp.sum(
+                pool_rois_multilevel(fs, rois, strides, (7, 7)) * w
+            )
+        )(feats)
+        gr = jax.grad(
+            lambda fs: jnp.sum(
+                multilevel_roi_align_batched(fs, rois, strides, (7, 7)) * w
+            )
+        )(feats)
+        gerr = max(
+            float(np.max(np.abs(
+                np.asarray(a, np.float32) - np.asarray(b, np.float32)
+            ))) / (float(np.max(np.abs(np.asarray(b, np.float32)))) + 1e-6)
+            for a, b in zip(gp, gr)
+        )
+        results.append(check(
+            "roi_align bwd fused==separable", gerr < 2e-2,
+            f"(rel err {gerr:.2e})"
+        ))
+    finally:
+        if prior_backend is None:
+            os.environ.pop("BASEDET_ROIALIGN_BACKEND", None)
+        else:
+            os.environ["BASEDET_ROIALIGN_BACKEND"] = prior_backend
 
     # -- 3b. v3 window RoIAlign vs separable oracle (values + dF) -----------
     from basedet_tpu.ops.roi_align_window import pool_rois_window
