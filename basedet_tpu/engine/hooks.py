@@ -161,6 +161,16 @@ class ResumeHook(BaseHook):
             payload = pickle.load(f)
         t = self.trainer
         t.state = numpy_to_state_like(t.state, payload["state"])
+        # re-place the restored host arrays on the trainer's mesh (replicated
+        # like init_state does) — otherwise the first jitted step sees
+        # uncommitted numpy leaves and placement is left to jit defaults,
+        # which under a sharded mesh is not guaranteed to match the compiled
+        # step's expectations
+        mesh = getattr(t, "mesh", None)
+        if mesh is not None:
+            from basedet_tpu.parallel import replicate_state
+
+            t.state = replicate_state(t.state, mesh)
         t.progress.load_state_dict(payload["progress"])
         t.progress.epoch_done()  # resume at next epoch (reference :345)
         logger.info(f"resumed from {path} at epoch {t.progress.epoch}")
