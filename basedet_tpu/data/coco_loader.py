@@ -184,6 +184,7 @@ class _MappedLoader:
         self.collator = collator
         self.num_workers = num_workers
         self._pool = None
+        self._restart_pool = False
 
     def _load_one(self, i):
         rec = self.dataset[i]
@@ -191,7 +192,17 @@ class _MappedLoader:
             rec = self.transform(rec)
         return rec
 
+    def request_pool_restart(self):
+        """Re-fork the worker pool before the next batch: workers snapshot
+        the dataset at fork, so in-place dataset flag flips (the YOLOX
+        no-aug switch, reference engine/yolo_hooks.py toggling
+        enable_mosaic) do not reach a live pool without this."""
+        self._restart_pool = True
+
     def _get_pool(self):
+        if self._restart_pool:
+            self._restart_pool = False
+            self.close()
         if self._pool is None:
             import multiprocessing as mp
 
@@ -298,6 +309,7 @@ def build_yolox_train_loader(cfg, global_batch: int):
         epoch_iter, depth=2, infinite=True, on_close=mapped.close
     )
     loader.mosaic_dataset = mosaic_ds
+    loader.mapped_loader = mapped
     return loader
 
 

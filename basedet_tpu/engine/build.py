@@ -69,6 +69,11 @@ class YoloxNoAugHook(BaseHook):
             if mosaic_ds is not None:
                 mosaic_ds.enable_mosaic = False
                 mosaic_ds.enable_mixup = False
+                # worker pools snapshot the dataset at fork; re-fork so the
+                # flag flip actually reaches NUM_WORKERS>0 loaders
+                mapped = getattr(t.dataloader, "mapped_loader", None)
+                if mapped is not None:
+                    mapped.request_pool_restart()
             t.rebuild_train_step()
 
 

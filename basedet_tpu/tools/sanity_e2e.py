@@ -159,6 +159,14 @@ def main(args=None):
              "phase, engine/yolo_hooks.py) — short synthetic runs cannot "
              "converge under full mosaic augmentation",
     )
+    parser.add_argument(
+        "--no-aug-tail", type=int, default=None,
+        help="YOLOX with-aug runs: number of final steps with mosaic/mixup "
+             "off and the L1 loss on, mirroring the reference's flagship "
+             "recipe (285 aug epochs + 15 no-aug, "
+             "configs/det_model/yolox_cfg.py NO_AUG_EPOCH). Default: "
+             "steps // 3 for a sanity-budget run.",
+    )
     args = parser.parse_args(args)
 
     if args.model == "all":
@@ -188,7 +196,9 @@ def _run_one(model_name: str, args):
     from basedet_tpu.engine.train_state import TrainState, make_train_step
     from basedet_tpu.parallel import make_mesh, replicate_state, shard_batch
     from basedet_tpu.utils import all_register, logger, setup_logger
+    from basedet_tpu.utils.compile_cache import enable_compilation_cache
 
+    enable_compilation_cache()
     all_register()
     setup_logger()
     (train_imgs, train_anno), (val_imgs, val_anno) = make_synthetic_coco(
@@ -227,9 +237,30 @@ def _run_one(model_name: str, args):
             depth=2, infinite=True,
         )
 
+    # with-aug YOLOX: schedule the reference's no-aug final phase (mosaic/
+    # mixup off + L1 loss on, re-jitting the step) inside the sanity loop —
+    # the trainer path does this via YoloxNoAugHook (engine/build.py)
+    no_aug_tail = 0
+    if model_name == "yolox" and not getattr(args, "no_aug", False):
+        no_aug_tail = getattr(args, "no_aug_tail", None)
+        if no_aug_tail is None:
+            no_aug_tail = args.steps // 3
+
     batch_mapper = getattr(model, "train_batch_mapper", None)
     it = iter(loader)
     for step in range(args.steps):
+        if no_aug_tail and step == args.steps - no_aug_tail:
+            logger.info(
+                f"step {step}: entering no-aug tail "
+                f"({no_aug_tail} steps: mosaic/mixup off, L1 on)"
+            )
+            loader.mosaic_dataset.enable_mosaic = False
+            loader.mosaic_dataset.enable_mixup = False
+            loader.mapped_loader.request_pool_restart()
+            model.use_l1 = True
+            step_fn = jax.jit(
+                make_train_step(model, solver, cfg), donate_argnums=(0,)
+            )
         batch = dict(next(it))
         batch.pop("image_id", None)
         if batch_mapper is not None:

@@ -206,3 +206,36 @@ def test_prefetch_close_runs_on_close():
     assert next(it) == 1
     it.close()
     assert closed == [True]
+
+
+class _FlagDataset:
+    """Picklable dataset whose samples report a mutable flag (stand-in for
+    MosaicDataset.enable_mosaic)."""
+
+    def __init__(self):
+        self.flag = True
+
+    def __len__(self):
+        return 4
+
+    def __getitem__(self, i):
+        return self.flag
+
+
+def test_pool_restart_propagates_dataset_flags():
+    """Workers snapshot the dataset at fork: an in-place flag flip (the
+    YOLOX no-aug switch, engine/build.py YoloxNoAugHook) must be followed by
+    request_pool_restart() to reach a live pool."""
+    from basedet_tpu.data.coco_loader import _MappedLoader, _pool_load_one
+
+    ds = _FlagDataset()
+    loader = _MappedLoader(ds, None, None, None, num_workers=1)
+    try:
+        assert loader._get_pool().map(_pool_load_one, [0]) == [True]
+        ds.flag = False
+        # live pool still sees the fork-time snapshot
+        assert loader._get_pool().map(_pool_load_one, [0]) == [True]
+        loader.request_pool_restart()
+        assert loader._get_pool().map(_pool_load_one, [0]) == [False]
+    finally:
+        loader.close()
