@@ -81,9 +81,15 @@ def main():
         args.out, n_train=args.images, n_val=4, size=args.size
     )
 
+    # BATCHSIZE drives the lr scale (solver/build.py _scaled_lr_wd:
+    # lr = BASIC_LR * BATCHSIZE) — it must be the PER-STEP batch, not the
+    # pool size. The r5c/f/g probes ran with batch=pool (lr 3-25x the
+    # sanity_e2e value) before this fix; their collapse trajectories are
+    # still valid evidence (the e2e runs collapsed at the correct lr too)
+    # but their absolute lr was wrong.
     cfg_args = SimpleNamespace(
-        steps=args.steps, batch=args.images, size=args.size, out=args.out,
-        no_aug=False,
+        steps=args.steps, batch=(args.minibatch or args.images),
+        size=args.size, out=args.out, no_aug=False,
     )
     cfg = _make_cfg("detr", cfg_args)
     if args.lr is not None:

@@ -94,6 +94,17 @@ def _make_cfg(model: str, args):
         cfg.TRAINER.GRAD_CLIP = dict(
             ENABLE=True, TYPE="norm", ARGS=dict(max_norm=1.0)
         )
+        # From-scratch training MUST NOT down-weight the backbone lr: the
+        # reference's 0.1 ratio (detr_solver.py) assumes an ImageNet-
+        # pretrained ResNet. With a random backbone at 0.1x lr the image
+        # features stay uninformative and DETR settles into its
+        # class-marginal collapse basin (every query predicts the dataset
+        # mean regardless of the image) — root-caused by the r5 bisect:
+        # constant-batch overfit perfect, shuffled minibatches pinned at
+        # ce=1.33=ln(e)+marginal, torch oracle (full-lr stem) learns, and
+        # our model under a flat full-lr AdamW escapes the basin
+        # (logs/probe_detr_r5h_flat_adamw.log vs probe_detr_r5c/f/g).
+        cfg.SOLVER.BACKBONE_LR_RATIO = 1.0
     elif model == "yolox":
         cfg = C.YOLOXNanoConfig()
         s = cfg.AUG.TRAIN_SETTING
@@ -268,8 +279,13 @@ def _run_one(model_name: str, args):
         batch = shard_batch(batch, mesh)
         state, metrics = step_fn(state, batch)
         if step % 50 == 0 or step == args.steps - 1:
+            terms = " ".join(
+                f"{k}={float(v):.4f}" for k, v in sorted(metrics.items())
+                if k != "total_loss"
+            )
             logger.info(
-                f"step {step}: total_loss={float(metrics['total_loss']):.4f}"
+                f"step {step}: total_loss={float(metrics['total_loss']):.4f} "
+                f"{terms}"
             )
 
     # evaluation

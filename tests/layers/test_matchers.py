@@ -126,3 +126,21 @@ def test_sinkhorn_plan_marginals():
     plan = sinkhorn_log(mu, nu, cost, eps=0.05, n_iters=200)
     np.testing.assert_allclose(np.asarray(plan).sum(axis=1), mu, atol=1e-2)
     np.testing.assert_allclose(np.asarray(plan).sum(axis=0), nu, atol=1e-2)
+
+
+def test_auction_nested_vmap_matches_single():
+    """DETR calls the auction under vmap(layers) x vmap(batch)
+    (models/det/detr.py get_losses). Batching must not mix rows across the
+    mapped axes — r5 bisect ruled this out as the DETR collapse cause; keep
+    it ruled out."""
+    rng = np.random.RandomState(7)
+    L, B, Q, K = 2, 3, 6, 4
+    cost = jnp.asarray(rng.randn(L, B, Q, K).astype(np.float32))
+    valid = jnp.asarray(rng.rand(L, B, K) < 0.7)
+
+    f = lambda c, v: hungarian_match_owner(c, valid=v)
+    owners_vv = np.asarray(jax.vmap(jax.vmap(f))(cost, valid))
+    for l in range(L):
+        for b in range(B):
+            ref = np.asarray(f(cost[l, b], valid[l, b]))
+            np.testing.assert_array_equal(owners_vv[l, b], ref)
