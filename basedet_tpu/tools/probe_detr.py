@@ -56,6 +56,10 @@ def main():
     p.add_argument("--backbone-norm", type=str, default=None,
                    help="override MODEL.BACKBONE.NORM (e.g. GN) — tests "
                         "the trainable-BN-under-shuffled-minibatches theory")
+    p.add_argument("--dropout", type=float, default=None,
+                   help="override MODEL.TRANSFORMER.DROPOUT (sanity zeroes "
+                        "it; the reference trains DETR with 0.1 — dropout "
+                        "noise may help escape the class-marginal saddle)")
     args = p.parse_args()
 
     if args.cpu:
@@ -96,6 +100,8 @@ def main():
         cfg.SOLVER.BASIC_LR = args.lr
     if args.backbone_norm is not None:
         cfg.MODEL.BACKBONE.NORM = args.backbone_norm
+    if args.dropout is not None:
+        cfg.MODEL.TRANSFORMER.DROPOUT = args.dropout
     model = cfg.build_model()
 
     if args.exact_auction:

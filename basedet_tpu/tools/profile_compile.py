@@ -72,11 +72,23 @@ def main(args=None):
     eval_size = args.eval_size or args.size
 
     for name in args.models:
-        cfg_args = SimpleNamespace(
-            steps=100, batch=args.batch, size=args.size, out="/tmp/pc",
-            no_aug=True,
-        )
-        cfg = _make_cfg(name, cfg_args)
+        # sweep-protocol names (RetinaNet, YOLOX-S, ...) use the production
+        # benchmark configs (amp, like bench_sweep); lowercase names use the
+        # sanity-harness configs
+        try:
+            from basedet_tpu.tools.benchmark import _build
+
+            cfg = _build(name, args.size, args.batch)
+            cfg.TRAINER.AMP.ENABLE = True
+            from basedet_tpu.layers.precision import configure_from_cfg
+
+            configure_from_cfg(cfg)
+        except KeyError:
+            cfg_args = SimpleNamespace(
+                steps=100, batch=args.batch, size=args.size, out="/tmp/pc",
+                no_aug=True,
+            )
+            cfg = _make_cfg(name, cfg_args)
         model = cfg.build_model()
         solver = cfg.build_solver()
         variables = model.init_variables(

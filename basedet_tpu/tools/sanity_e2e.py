@@ -89,10 +89,17 @@ def _make_cfg(model: str, args):
         # values — dropout 0.1, clip 0.1, lr 1e-4/16 — are the reference's
         # 150-epoch COCO schedule and are far too conservative for a
         # few-thousand-step synthetic run)
-        cfg.MODEL.TRANSFORMER.DROPOUT = 0.0
+        # r5 stability findings (probe_detr_r5h/j/k + sanity_e2e_detr_r5s):
+        # lr 4e-4 (= 5e-5 x b8) escapes the class-marginal basin but
+        # re-collapses around step ~2-3k without the reference's own
+        # stabilizers; dropout 0.1 (reference value) both speeds the
+        # escape (noise breaks the symmetric saddle) and regularizes, and
+        # the reference's 0.1 grad clip bounds the box-loss spikes that
+        # preceded the re-collapse.
+        cfg.MODEL.TRANSFORMER.DROPOUT = 0.1
         cfg.SOLVER.BASIC_LR = 5e-5
         cfg.TRAINER.GRAD_CLIP = dict(
-            ENABLE=True, TYPE="norm", ARGS=dict(max_norm=1.0)
+            ENABLE=True, TYPE="norm", ARGS=dict(max_norm=0.1)
         )
         # From-scratch training MUST NOT down-weight the backbone lr: the
         # reference's 0.1 ratio (detr_solver.py) assumes an ImageNet-
@@ -148,6 +155,14 @@ def _make_cfg(model: str, args):
         )
     cfg.SOLVER.NUM_IMAGE_PER_EPOCH = 200
     cfg.SOLVER.MAX_EPOCH = max(1, args.steps * args.batch // 200)
+    if model == "detr":
+        # scale the reference's epoch-100-of-150 decay (detr_cfg.py) to the
+        # sanity run length — otherwise the milestone fires at ~10% of the
+        # run and the remaining 90% crawls at 0.1x lr (r5: the 24k-step run
+        # printed lr=0.0000 from step 2500 on)
+        cfg.SOLVER.LR_DECAY_STAGES = [
+            max(1, int(cfg.SOLVER.MAX_EPOCH * 2 / 3))
+        ]
     cfg.TEST.CLS_THRESHOLD = 0.05
     cfg.GLOBAL.OUTPUT_DIR = args.out
     return cfg
@@ -169,6 +184,14 @@ def main(args=None):
         help="YOLOX: disable mosaic/mixup (the reference's no-aug final "
              "phase, engine/yolo_hooks.py) — short synthetic runs cannot "
              "converge under full mosaic augmentation",
+    )
+    parser.add_argument(
+        "--train-images", type=int, default=None,
+        help="synthetic train-set size (default 200)",
+    )
+    parser.add_argument(
+        "--eval-on-train", action="store_true",
+        help="evaluate mAP on the TRAIN images (overfit protocol)",
     )
     parser.add_argument(
         "--no-aug-tail", type=int, default=None,
@@ -212,9 +235,15 @@ def _run_one(model_name: str, args):
     enable_compilation_cache()
     all_register()
     setup_logger()
+    n_train = getattr(args, "train_images", None) or 200
     (train_imgs, train_anno), (val_imgs, val_anno) = make_synthetic_coco(
-        args.out, size=args.size
+        args.out, n_train=n_train, size=args.size
     )
+    if getattr(args, "eval_on_train", False):
+        # overfit protocol (VERDICT r4 item #1: "overfit the 40-image set
+        # to AP >= 0.5"): train AP measures whether the training path can
+        # drive the loss to memorization at all
+        val_imgs, val_anno = train_imgs, train_anno
 
     cfg = _make_cfg(model_name, args)
     model = cfg.build_model()
