@@ -12,6 +12,8 @@ Static-shape redesign:
 """
 from __future__ import annotations
 
+import os
+
 import jax
 import jax.numpy as jnp
 
@@ -75,6 +77,26 @@ class FreeAnchor(RetinaNet):
         gt_boxes = inputs["gt_boxes"]
         num_valid = inputs["img_info"][:, 4].astype(jnp.int32)
         approx = bool(bucket.get("APPROX_TOPK", True))
+        # perf switches (round-5 bag-loss optimization; defaults are the
+        # measured winners — see logs/ablate_freeanchor_r5.log):
+        #   BASEDET_FA_GATHER=flat : gather the (K*B,) matched class scores
+        #     as flat scalars instead of (K*B, C) rows + take_along_axis —
+        #     the VJP scatter-adds 80x fewer elements. =rows keeps the old.
+        #   BASEDET_FA_NEG=sparse : compute the negative focal term as
+        #     dense-focal(scores) + a sorted/deduped correction over the
+        #     <=K*P nonzero box_prob entries, instead of materializing the
+        #     (R, C) box_prob via serialized scatter-max and re-reading the
+        #     full (B, R, C) score tensor through the (1-box_prob) product.
+        #     Exactly equal (test_free_anchor_variants). =dense keeps old.
+        flat_gather = os.environ.get("BASEDET_FA_GATHER", "flat") == "flat"
+        sparse_neg = os.environ.get("BASEDET_FA_NEG", "sparse") == "sparse"
+
+        def _neg_term(s):
+            # the per-entry negative focal integrand, shared by the dense
+            # pass and the sparse correction so the forms agree bit-for-bit
+            # (f32: the dense form promotes via the f32 box_prob product)
+            s = s.astype(jnp.float32)
+            return s ** gamma * (-_safelog(1.0 - s))
 
         def per_image(gt, n, scores, offsets):
             K = gt.shape[0]
@@ -101,11 +123,37 @@ class FreeAnchor(RetinaNet):
             P = min(128, R)
             top_prob, top_idx = _topk(gt_prob, P, approx)  # (K, P)
             c_idx = jnp.broadcast_to(labels[:, None], (K, P))
-            box_prob = (
-                jnp.zeros((R, C))
-                .at[top_idx.reshape(-1), c_idx.reshape(-1)]
-                .max(top_prob.reshape(-1))
-            )
+            if sparse_neg:
+                # neg_loss = sum_{r,c} f(s*(1-bp)) with bp nonzero on at
+                # most K*P entries; rewrite as
+                #   sum f(s) + sum_{bp>0, deduped-by-max} [f(s(1-bp))-f(s)]
+                # Dedup (two gts of one class hitting the same anchor — the
+                # dense form resolves by scatter-MAX) via a two-key sort:
+                # ascending flat key, descending prob, keep first-per-key.
+                key = (top_idx * C + c_idx).reshape(-1)  # (K*P,)
+                prob = top_prob.reshape(-1)
+                key_s, _, prob_s = jax.lax.sort(
+                    (key, -prob, prob), num_keys=2
+                )
+                first = jnp.concatenate(
+                    [jnp.ones((1,), bool), key_s[1:] != key_s[:-1]]
+                )
+                s = scores.reshape(-1)[key_s]  # (K*P,) grad flows
+                bp = jax.lax.stop_gradient(prob_s)
+                corr = jnp.sum(
+                    jnp.where(
+                        first,
+                        _neg_term(s * (1.0 - bp)) - _neg_term(s),
+                        0.0,
+                    )
+                )
+                box_prob = corr  # per-image correction scalar
+            else:
+                box_prob = (
+                    jnp.zeros((R, C))
+                    .at[top_idx.reshape(-1), c_idx.reshape(-1)]
+                    .max(top_prob.reshape(-1))
+                )
 
             # --- positive bags ---
             quality = jax.lax.stop_gradient(box_iou(gt[:, :4], anchors))
@@ -113,10 +161,21 @@ class FreeAnchor(RetinaNet):
             _, matched = _topk(quality, B_size, approx)  # (K, B)
             m_flat = matched.reshape(-1)
 
-            matched_score = scores[m_flat, :].reshape(K, B_size, C)
-            matched_score = jnp.take_along_axis(
-                matched_score, labels[:, None, None], axis=2
-            )[..., 0]  # (K, B)
+            if flat_gather:
+                flat_idx = (
+                    m_flat * C
+                    + jnp.broadcast_to(
+                        labels[:, None], (K, B_size)
+                    ).reshape(-1)
+                )
+                matched_score = scores.reshape(-1)[flat_idx].reshape(
+                    K, B_size
+                )  # (K, B) — scalar gather; VJP scatters K*B scalars
+            else:
+                matched_score = scores[m_flat, :].reshape(K, B_size, C)
+                matched_score = jnp.take_along_axis(
+                    matched_score, labels[:, None, None], axis=2
+                )[..., 0]  # (K, B)
 
             m_anchors = anchors[m_flat]  # (K*B, 4)
             gt_broad = jnp.repeat(gt[:, :4], B_size, axis=0)
@@ -143,9 +202,13 @@ class FreeAnchor(RetinaNet):
         num_fg = jnp.maximum(jnp.sum(num_valid).astype(jnp.float32), 1.0)
         pos_loss = jnp.sum(pos_losses) / num_fg * alpha
 
-        neg_scores = pred_scores * (1.0 - box_probs)
+        if sparse_neg:
+            neg_sum = jnp.sum(_neg_term(pred_scores)) + jnp.sum(box_probs)
+        else:
+            neg_scores = pred_scores * (1.0 - box_probs)
+            neg_sum = jnp.sum(_neg_term(neg_scores))
         neg_loss = (
-            jnp.sum(neg_scores ** gamma * (-_safelog(1.0 - neg_scores)))
+            neg_sum
             / jnp.maximum(num_fg * B_size, 1.0)
             * (1 - alpha)
         )

@@ -46,6 +46,25 @@ _ONEHOT_MAX_ROWS = 2048
 _CHUNK = 2048
 
 
+def _maybe_bf16(g: jnp.ndarray) -> jnp.ndarray:
+    """Optionally round f32 cotangents to bf16 before the one-hot matmul
+    (BASEDET_DCN_BF16=1; the 0/1 one-hot operand is exact either way and
+    the dot accumulates f32 via preferred_element_type).
+
+    Default OFF — measured to be a no-op for the motivating case: under
+    the AMP policy the CenterNet DCN cotangents arrive ALREADY bf16
+    (probed dtypes at all three stage tables: bfloat16 — the round-5
+    "dF matmul runs f32" hypothesis was false), so the in-train matmuls
+    are bf16 x bf16 -> f32 with or without this. Kept as an experiment
+    knob for f32 (non-AMP) callers only.
+    """
+    if g.dtype == jnp.float32 and os.environ.get(
+        "BASEDET_DCN_BF16", "0"
+    ) == "1":
+        return g.astype(jnp.bfloat16)
+    return g
+
+
 def scatter_rows_onehot(idx: jnp.ndarray, values: jnp.ndarray,
                         n_rows: int) -> jnp.ndarray:
     """``zeros(n_rows, D).at[idx].add(values)`` as chunked one-hot matmuls.
@@ -171,7 +190,9 @@ def _gather_rows_fn(n_rows: int):
     def bwd(res, g):
         idx, proto = res
         if _scatter_backend(n_rows) == "onehot":
-            dtable = scatter_rows_onehot(idx, g, n_rows).astype(proto.dtype)
+            dtable = scatter_rows_onehot(
+                idx, _maybe_bf16(g), n_rows
+            ).astype(proto.dtype)
         else:
             dtable = (
                 jnp.zeros((n_rows, g.shape[-1]), proto.dtype).at[idx].add(g)
@@ -204,13 +225,13 @@ def _gather_rows_batched_fn(n_rows: int):
         backend = _scatter_backend(n_rows)
         if backend == "pallas" and g.shape[-1] % 128 == 0:
             dtable = scatter_rows_onehot_pallas(
-                idx, g, n_rows,
+                idx, _maybe_bf16(g), n_rows,
                 interpret=jax.default_backend() != "tpu",
             )
         elif backend in ("onehot", "pallas"):
             dtable = jax.vmap(
                 lambda i, v: scatter_rows_onehot(i, v, n_rows)
-            )(idx, g)
+            )(idx, _maybe_bf16(g))
         else:
             # native scatter-add in table dtype (identical numerics to the
             # unbatched xla branch above)

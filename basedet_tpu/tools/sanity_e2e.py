@@ -98,8 +98,15 @@ def _make_cfg(model: str, args):
         # preceded the re-collapse.
         cfg.MODEL.TRANSFORMER.DROPOUT = 0.1
         cfg.SOLVER.BASIC_LR = 5e-5
+        # clip 1.0, NOT the reference's 0.1: the r5u run showed clip 0.1
+        # re-strangles the escape (ce pinned at the ln(3) marginal through
+        # step 2250 — from-scratch grad norms are O(1), so 0.1 rescales
+        # every update ~10x, undoing the lr fix). The torch oracle that
+        # PROVES this regime learnable (tools/oracle_detr_torch.py:178)
+        # clips at 1.0 and reaches ce 0.07 in 800 steps; 1.0 still bounds
+        # the box-loss spikes that preceded the r5s re-collapse.
         cfg.TRAINER.GRAD_CLIP = dict(
-            ENABLE=True, TYPE="norm", ARGS=dict(max_norm=0.1)
+            ENABLE=True, TYPE="norm", ARGS=dict(max_norm=1.0)
         )
         # From-scratch training MUST NOT down-weight the backbone lr: the
         # reference's 0.1 ratio (detr_solver.py) assumes an ImageNet-
