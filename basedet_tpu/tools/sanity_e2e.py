@@ -96,7 +96,10 @@ def _make_cfg(model: str, args):
         # escape (noise breaks the symmetric saddle) and regularizes, and
         # the reference's 0.1 grad clip bounds the box-loss spikes that
         # preceded the re-collapse.
-        cfg.MODEL.TRANSFORMER.DROPOUT = 0.1
+        cfg.MODEL.TRANSFORMER.DROPOUT = (
+            args.detr_dropout if getattr(args, "detr_dropout", None)
+            is not None else 0.1
+        )
         cfg.SOLVER.BASIC_LR = 5e-5
         # clip 1.0, NOT the reference's 0.1: the r5u run showed clip 0.1
         # re-strangles the escape (ce pinned at the ln(3) marginal through
@@ -191,6 +194,11 @@ def main(args=None):
         help="YOLOX: disable mosaic/mixup (the reference's no-aug final "
              "phase, engine/yolo_hooks.py) — short synthetic runs cannot "
              "converge under full mosaic augmentation",
+    )
+    parser.add_argument(
+        "--detr-dropout", type=float, default=None,
+        help="override the DETR sanity recipe's transformer dropout "
+             "(0 isolates BN as the only train/eval forward difference)",
     )
     parser.add_argument(
         "--train-images", type=int, default=None,
@@ -323,6 +331,16 @@ def _run_one(model_name: str, args):
                 f"step {step}: total_loss={float(metrics['total_loss']):.4f} "
                 f"{terms}"
             )
+
+    # persist the final train state so post-run probes can dissect the
+    # trained model without re-training (e.g. the DETR image-blindness /
+    # train-vs-eval forward checks)
+    import pickle
+
+    from basedet_tpu.engine.hooks import jax_to_numpy
+
+    with open(os.path.join(args.out, "final_state.pkl"), "wb") as f:
+        pickle.dump({"state": jax_to_numpy(state)}, f)
 
     # evaluation
     val_ds = COCODataset(val_imgs, val_anno, remove_images_without_annotations=False)
