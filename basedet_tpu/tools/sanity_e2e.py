@@ -96,9 +96,16 @@ def _make_cfg(model: str, args):
         # escape (noise breaks the symmetric saddle) and regularizes, and
         # the reference's 0.1 grad clip bounds the box-loss spikes that
         # preceded the re-collapse.
+        # dropout 0 for synthetic sanity runs: the round-5 eval-gap
+        # experiment showed dropout 0.1 in this tiny-query/tiny-data
+        # regime trains a sampled ensemble whose members memorize (train
+        # giou 0.049) while the deterministic eval forward collapses
+        # (AP50 0.128); with dropout 0 the same run scores AP 1.0
+        # (logs/sanity_e2e_detr_r5{y,z}.log, probe_detr_evalgap). The
+        # reference's 0.1 belongs to its 150-epoch/300-query COCO recipe.
         cfg.MODEL.TRANSFORMER.DROPOUT = (
             args.detr_dropout if getattr(args, "detr_dropout", None)
-            is not None else 0.1
+            is not None else 0.0
         )
         cfg.SOLVER.BASIC_LR = 5e-5
         # clip 1.0, NOT the reference's 0.1: the r5u run showed clip 0.1
