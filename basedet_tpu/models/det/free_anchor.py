@@ -77,19 +77,25 @@ class FreeAnchor(RetinaNet):
         gt_boxes = inputs["gt_boxes"]
         num_valid = inputs["img_info"][:, 4].astype(jnp.int32)
         approx = bool(bucket.get("APPROX_TOPK", True))
-        # perf switches (round-5 bag-loss optimization; defaults are the
-        # measured winners — see logs/ablate_freeanchor_r5.log):
-        #   BASEDET_FA_GATHER=flat : gather the (K*B,) matched class scores
-        #     as flat scalars instead of (K*B, C) rows + take_along_axis —
-        #     the VJP scatter-adds 80x fewer elements. =rows keeps the old.
-        #   BASEDET_FA_NEG=sparse : compute the negative focal term as
-        #     dense-focal(scores) + a sorted/deduped correction over the
-        #     <=K*P nonzero box_prob entries, instead of materializing the
-        #     (R, C) box_prob via serialized scatter-max and re-reading the
-        #     full (B, R, C) score tensor through the (1-box_prob) product.
-        #     Exactly equal (test_free_anchor_variants). =dense keeps old.
-        flat_gather = os.environ.get("BASEDET_FA_GATHER", "flat") == "flat"
-        sparse_neg = os.environ.get("BASEDET_FA_NEG", "sparse") == "sparse"
+        # perf variants (round-5 bag-loss experiment; defaults are the
+        # MEASURED in-train winners, logs/bench_freeanchor_ab_r5.log,
+        # b8@640 amp):
+        #   rows+dense (default):        153.2 img/s / 52.2 ms
+        #   flat+sparse:                 136.8 img/s / 58.5 ms
+        #   flat+dense:                  134.6 img/s / 59.5 ms
+        # i.e. BOTH rewrites lose in-train despite strictly-less scatter
+        # work on paper — the 4th instance of the standalone-win/in-train
+        # -loss composition lesson (see also conv_s2 / fused_bn / onehot
+        # R=6561). The variants stay as exact-equality-tested alternatives:
+        #   BASEDET_FA_GATHER=flat : (K*B,) scalar gather for the matched
+        #     class scores (VJP scatters 80x fewer elements — but breaks
+        #     the fusion the row-gather backward enjoys).
+        #   BASEDET_FA_NEG=sparse : dense-focal(scores) + sorted/deduped
+        #     correction over the <=K*P nonzero box_prob entries instead
+        #     of the serialized (R, C) scatter-max + (1-box_prob) product.
+        # Both equal in value AND grad (test_free_anchor_variants).
+        flat_gather = os.environ.get("BASEDET_FA_GATHER", "rows") == "flat"
+        sparse_neg = os.environ.get("BASEDET_FA_NEG", "dense") == "sparse"
 
         def _neg_term(s):
             # the per-entry negative focal integrand, shared by the dense
